@@ -1,0 +1,39 @@
+"""Helpers to load the read-only PyTorch reference for golden parity tests.
+
+The reference depends on ``poppy`` only for its Zernike basis; we stub
+that module with our own implementation so both sides share the exact
+same basis and any PSF difference is attributable to the optics math.
+"""
+
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def install_poppy_stub():
+    from ppvision_tpu.optics.zernike import zernike_basis
+
+    if "poppy" in sys.modules:
+        return
+    poppy = types.ModuleType("poppy")
+    zmod = types.ModuleType("poppy.zernike")
+
+    def _basis(nterms=15, npix=512, outside=0.0, **kwargs):
+        return zernike_basis(nterms, npix, outside=outside)
+
+    zmod.zernike_basis = _basis
+    poppy.zernike = zmod
+    sys.modules["poppy"] = poppy
+    sys.modules["poppy.zernike"] = zmod
+
+
+def import_face_deid_camera():
+    """Import the reference Face-DeId Camera class (torch, CPU)."""
+    install_poppy_stub()
+    path = f"{REFERENCE_ROOT}/Face-DeId"
+    if path not in sys.path:
+        sys.path.insert(0, path)
+    from Camera.Optics import Camera  # noqa: PLC0415
+
+    return Camera
