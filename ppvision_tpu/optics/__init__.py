@@ -16,4 +16,15 @@ from .fourier import (  # noqa: F401
     fft_conv2d_linear,
     psf2otf_split,
 )
+from .lens import (  # noqa: F401
+    LensConstants,
+    LensParams,
+    LensResult,
+    LensSpec,
+    init_lens_params,
+    lens_apply,
+    lens_coeffs,
+    lens_psf,
+    make_lens_constants,
+)
 from .zernike import noll_to_nm, zernike_basis, zernike_nm, zernike_volume  # noqa: F401

@@ -77,7 +77,9 @@ def fft_conv2d_linear(img: jnp.ndarray, psf: jnp.ndarray) -> jnp.ndarray:
     ir, ii = fft2_real(padded, axes=(1, 2))
     rr, ri = cmul(ir, ii, otf_r[None], otf_i[None])
     out_r, out_i = fft2_split(rr, ri, axes=(1, 2), inverse=True)
-    out = jnp.sqrt(out_r * out_r + out_i * out_i)  # reference takes torch.abs
+    # Reference takes torch.abs of the complex result; a tiny floor keeps
+    # the sqrt gradient finite where the output is exactly zero.
+    out = jnp.sqrt(out_r * out_r + out_i * out_i + 1e-24)
     # The reference crops [pad+1 : -pad] then nearest-resizes (H-1 -> H),
     # which duplicates the last row/col.  Reproduce that exactly.
     out = out[:, pad_h + 1 : 2 * h - pad_h, pad_w + 1 : 2 * w - pad_w, :]

@@ -99,13 +99,48 @@ def zernike_basis(nterms: int, npix: int, outside: float = 0.0) -> np.ndarray:
     """Stack of the first ``nterms`` Noll-ordered Zernike terms.
 
     Returns float64 array of shape ``(nterms, npix, npix)`` with values
-    ``outside`` beyond the unit disk.
+    ``outside`` beyond the unit disk.  Powers of rho and the angular
+    cos/sin tables are shared across terms, so 350 terms at 896^2
+    evaluate in seconds rather than minutes.
     """
     rho, theta, inside = _disk_grid(npix)
+    nm = [noll_to_nm(j) for j in range(1, nterms + 1)]
+    max_n = max(n for n, _ in nm)
+
+    rho_pow = np.empty((max_n + 1,) + rho.shape, dtype=np.float64)
+    rho_pow[0] = 1.0
+    for p in range(1, max_n + 1):
+        rho_pow[p] = rho_pow[p - 1] * rho
+
+    ang_cos: dict[int, np.ndarray] = {}
+    ang_sin: dict[int, np.ndarray] = {}
+    for _, m in nm:
+        if m > 0 and m not in ang_cos:
+            ang_cos[m] = np.cos(m * theta)
+        elif m < 0 and -m not in ang_sin:
+            ang_sin[-m] = np.sin(-m * theta)
+
     basis = np.empty((nterms, npix, npix), dtype=np.float64)
-    for idx in range(nterms):
-        n, m = noll_to_nm(idx + 1)
-        z = zernike_nm(n, m, rho, theta)
+    for idx, (n, m) in enumerate(nm):
+        am = abs(m)
+        r = np.zeros_like(rho)
+        for k in range((n - am) // 2 + 1):
+            c = (
+                (-1) ** k
+                * math.factorial(n - k)
+                // (
+                    math.factorial(k)
+                    * math.factorial((n + am) // 2 - k)
+                    * math.factorial((n - am) // 2 - k)
+                )
+            )
+            r += float(c) * rho_pow[n - 2 * k]
+        if m == 0:
+            z = math.sqrt(n + 1) * r
+        elif m > 0:
+            z = math.sqrt(2 * (n + 1)) * r * ang_cos[m]
+        else:
+            z = math.sqrt(2 * (n + 1)) * r * ang_sin[-m]
         basis[idx] = np.where(inside, z, outside)
     return basis
 

@@ -28,6 +28,44 @@ def install_poppy_stub():
     sys.modules["poppy.zernike"] = zmod
 
 
+def install_numpy_compat_shim():
+    """The reference calls ``np.math.gcd`` (removed in numpy 2.0)."""
+    import math
+
+    import numpy as np
+
+    if not hasattr(np, "math"):
+        np.math = math
+
+
+def install_torchvision_stub():
+    """Minimal torchvision stub for the reference optics path.
+
+    Only ``transforms.Resize(size, interpolation=0)`` is exercised
+    (area downsampling and the img_psf_conv crop-resize); real
+    torchvision implements it with ``F.interpolate(mode='nearest')`` on
+    tensors, which is what we provide.
+    """
+    if "torchvision" in sys.modules:
+        return
+    import torch.nn.functional as F
+
+    tv = types.ModuleType("torchvision")
+    transforms = types.ModuleType("torchvision.transforms")
+
+    class Resize:
+        def __init__(self, size, interpolation=0):
+            self.size = [size, size] if isinstance(size, int) else list(size)
+
+        def __call__(self, x):
+            return F.interpolate(x, size=tuple(self.size), mode="nearest")
+
+    transforms.Resize = Resize
+    tv.transforms = transforms
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = transforms
+
+
 def import_face_deid_camera():
     """Import the reference Face-DeId Camera class (torch, CPU)."""
     install_poppy_stub()
