@@ -1,0 +1,294 @@
+"""FAN stacked-hourglass face-landmark heatmap network (Flax, NHWC).
+
+Same architecture family as the reference's wing/FAN
+(``Face-DeId/core/wing.py:36-310``): CoordConv stem, dense ConvBlocks,
+one depth-4 hourglass, 98+1-channel heatmap head, plus the heatmap
+post-processing (privacy masks, facial-part shift/sharpen pipeline,
+landmark extraction).
+
+TPU-first choices:
+
+- The network only ever runs frozen/eval in this framework (the
+  reference never optimizes FAN, solver.py:60-62), so BatchNorm uses
+  stored running statistics as parameters — no mutable state under jit.
+- Coordinate channels are static constants concatenated on the channel
+  (lane) axis.
+- The hourglass recursion is unrolled at trace time (depth is static).
+- Landmark extraction (argmax over heatmaps) is a flat-argmax +
+  unravel, batched, instead of per-sample Python loops
+  (wing.py:289-298).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.image import avg_pool_2x, resize_bilinear, upsample_nearest_2x
+
+NUM_LANDMARKS = 98
+
+
+def _coord_channels(height: int, width: int, with_r: bool) -> np.ndarray:
+    """(H, W, 2 or 3) static coord maps; 'x' varies along H as in the
+    reference (wing.py:86-99)."""
+    x = np.linspace(-1.0, 1.0, height, dtype=np.float32)[:, None] * np.ones(
+        (1, width), np.float32
+    )
+    y = np.ones((height, 1), np.float32) * np.linspace(-1.0, 1.0, width, dtype=np.float32)[None]
+    chans = [x, y]
+    if with_r:
+        rr = np.sqrt(x**2 + y**2)
+        chans.append(rr / rr.max())
+    return np.stack(chans, axis=-1)
+
+
+class CoordConv(nn.Module):
+    """Conv over input + coordinate (+boundary-gated coordinate) channels."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    with_r: bool = False
+    with_boundary: bool = False
+
+    @nn.compact
+    def __call__(self, x, heatmap=None):
+        h, w = x.shape[-3], x.shape[-2]
+        coords = jnp.asarray(_coord_channels(h, w, self.with_r))
+        coords = jnp.broadcast_to(coords, (x.shape[0],) + coords.shape)
+        feats = [x, coords]
+        if self.with_boundary and heatmap is not None:
+            boundary = jnp.clip(heatmap[..., -1:], 0.0, 1.0)
+            gate = boundary > 0.05
+            feats.append(jnp.where(gate, coords[..., 0:1], 0.0))
+            feats.append(jnp.where(gate, coords[..., 1:2], 0.0))
+        x = jnp.concatenate(feats, axis=-1)
+        pad = self.kernel // 2
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+        )(x)
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with running stats stored as parameters (eval-only)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = self.param("mean", nn.initializers.zeros, (c,))
+        var = self.param("var", nn.initializers.ones, (c,))
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+
+
+class DenseConvBlock(nn.Module):
+    """BN-relu-conv cascade whose three outputs concatenate to ``features``
+    channels (the hourglass building block, wing.py:139-175)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        half, quarter = self.features // 2, self.features // 4
+
+        def bn_relu_conv(h, out):
+            h = FrozenBatchNorm()(h)
+            h = nn.relu(h)
+            return nn.Conv(out, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False)(h)
+
+        o1 = bn_relu_conv(x, half)
+        o2 = bn_relu_conv(o1, quarter)
+        o3 = bn_relu_conv(o2, quarter)
+        out = jnp.concatenate([o1, o2, o3], axis=-1)
+        res = x
+        if self.in_features != self.features:
+            res = FrozenBatchNorm()(res)
+            res = nn.relu(res)
+            res = nn.Conv(self.features, (1, 1), use_bias=False)(res)
+        return out + res
+
+
+class HourGlass(nn.Module):
+    """Recursive encoder-decoder at depth 4 over 256-channel features."""
+
+    depth: int = 4
+    features: int = 256
+
+    @nn.compact
+    def __call__(self, x, heatmap=None):
+        x = CoordConv(self.features, 1, with_r=True, with_boundary=True)(x, heatmap)
+
+        def level(h, d):
+            up1 = DenseConvBlock(self.features, self.features)(h)
+            low = avg_pool_2x(h)
+            low = DenseConvBlock(self.features, self.features)(low)
+            if d > 1:
+                low = level(low, d - 1)
+            else:
+                low = DenseConvBlock(self.features, self.features)(low)
+            low = DenseConvBlock(self.features, self.features)(low)
+            return up1 + upsample_nearest_2x(low)
+
+        return level(x, self.depth)
+
+
+class FAN(nn.Module):
+    """Single-stack FAN: stem to 64x64x256, hourglass, 99-channel head."""
+
+    num_landmarks: int = NUM_LANDMARKS
+
+    @nn.compact
+    def __call__(self, x):
+        x = CoordConv(64, 7, stride=2, with_r=True)(x)  # 256 -> 128
+        x = nn.relu(FrozenBatchNorm()(x))
+        x = DenseConvBlock(64, 128)(x)
+        x = avg_pool_2x(x)  # 128 -> 64
+        x = DenseConvBlock(128, 128)(x)
+        x = DenseConvBlock(128, 256)(x)
+
+        h = HourGlass()(x, None)
+        h = DenseConvBlock(256, 256)(h)
+        h = nn.Conv(256, (1, 1))(h)
+        h = nn.relu(FrozenBatchNorm()(h))
+        return nn.Conv(self.num_landmarks + 1, (1, 1))(h)  # (B, 64, 64, 99)
+
+
+# ---------------------------------------------------------------------------
+# Heatmap post-processing (pure functions of the raw head output).
+# ---------------------------------------------------------------------------
+
+# Facial-part channel ranges (reference wing.py:518-528).
+IDX = dict(
+    chin=(8, 25),
+    eyebrows=(33, 51),
+    eyebrowsedges=(33, 46),
+    nose=(51, 55),
+    nostrils=(55, 60),
+    eyes=(60, 76),
+    lipedges=(76, 82),
+    lipupper=(77, 82),
+    liplower=(83, 88),
+    lipinner=(88, 96),
+)
+
+
+def _roll_rows(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """The reference's ``shift`` (wing.py:497-515) is a circular row roll."""
+    return jnp.roll(x, -n, axis=-3)
+
+
+def preprocess_heatmaps(hm: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Facial-part shift/sharpen pipeline -> (mask, mask-without-face-line).
+
+    Port of ``preprocess`` (wing.py:532-578); ``hm`` is (B, H, W, 98)
+    NHWC.  Returns two (B, H, W, 1) masks in [0, 1].
+    """
+    h = hm.shape[-3]
+    sw = h // 256
+    ops = dict(
+        chin=(0, 3),
+        eyebrows=(-7 * sw, 2),
+        nostrils=(8 * sw, 4),
+        lipupper=(-8 * sw, 4),
+        liplower=(8 * sw, 4),
+        lipinner=(-2 * sw, 3),
+    )
+    x = hm
+    for part, (shift_n, power) in ops.items():
+        s, e = IDX[part]
+        x = x.at[..., s:e].set(_roll_rows(x[..., s:e], shift_n) ** power)
+
+    zero = (
+        list(range(0, IDX["chin"][0]))
+        + list(range(IDX["chin"][1], 33))
+        + [IDX["eyebrowsedges"][0], IDX["eyebrowsedges"][1], IDX["lipedges"][0], IDX["lipedges"][1]]
+    )
+    x = x.at[..., jnp.asarray(zero)].set(0.0)
+
+    s, e = IDX["nose"]
+    x = x.at[..., s + 1 : e].set(_roll_rows(x[..., s + 1 : e], 4 * sw))
+
+    s, e = IDX["eyes"]
+    eyes = x[..., s:e]
+    x = x.at[..., s:e].set(_roll_rows(eyes, -8) ** 3 + _roll_rows(eyes, -24))
+
+    x2 = x
+    x2 = x2.at[..., IDX["chin"][0] : IDX["chin"][1]].set(0.0)
+    x2 = x2.at[..., IDX["lipedges"][0] : IDX["lipinner"][1]].set(0.0)
+    x2 = x2.at[..., IDX["eyebrows"][0] : IDX["eyebrows"][1]].set(0.0)
+
+    m1 = jnp.nan_to_num(jnp.sum(x, axis=-1, keepdims=True))
+    m2 = jnp.nan_to_num(jnp.sum(x2, axis=-1, keepdims=True))
+    return jnp.clip(m1, 0.0, 1.0), jnp.clip(m2, 0.0, 1.0)
+
+
+def get_heatmap(
+    fan: FAN,
+    params: Any,
+    x: jnp.ndarray,
+    privacy: bool = False,
+    delimiter: bool = False,
+    input_size: int = 256,
+):
+    """0-1 normalized heatmap masks from an image batch.
+
+    Port of ``FAN.get_heatmap`` (wing.py:241-260): resize to 256
+    (bilinear), map [-1,1]-style input through ``x*0.5+0.5``, run the
+    net, drop the boundary channel, upsample back with
+    align_corners=True, then:
+
+    - ``privacy=True``: two masks = clamped sums of channels [0:49) and
+      [49:98) (wing.py:249-251).
+    - ``delimiter=True``: zero channels <33 then the preprocess pipeline.
+    - otherwise: the preprocess pipeline.
+    """
+    # The reference resizes the input to 256 and upsamples heatmaps by
+    # input//heatmap = 4, so masks are always 256^2 regardless of the
+    # original image size (wing.py:244-258).  ``input_size`` below 256
+    # is a speed knob for tests/dry-runs, not reference behavior.
+    s = input_size
+    xr = resize_bilinear(x, (s, s))
+    out = fan.apply({"params": params}, xr * 0.5 + 0.5)
+    hm = out[..., : NUM_LANDMARKS]
+    if privacy:
+        # Channel-sum and bilinear resize commute (both linear; the
+        # reference clamps last, wing.py:250-251), so sum the 98
+        # channels at heatmap resolution before upsampling — identical
+        # result, 49x less resize memory (the naive order OOMs at
+        # batch 256 on a 16 GB chip).
+        m1 = jnp.sum(hm[..., :49], axis=-1, keepdims=True)
+        m2 = jnp.sum(hm[..., 49:], axis=-1, keepdims=True)
+        m1 = resize_bilinear(m1, (s, s), align_corners=True)
+        m2 = resize_bilinear(m2, (s, s), align_corners=True)
+        return jnp.clip(m1, 0.0, 1.0), jnp.clip(m2, 0.0, 1.0)
+    hm = resize_bilinear(hm, (s, s), align_corners=True)
+    if delimiter:
+        hm = hm.at[..., :33].set(0.0)
+    return preprocess_heatmaps(hm)
+
+
+def estimate_landmarks(fan: FAN, params: Any, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, 98, 2) landmark coordinates x4 scale (port of
+    ``estimate_landmark``, wing.py:289-298) via batched flat argmax."""
+    out = fan.apply({"params": params}, x * 0.5 + 0.5)
+    hm = out[..., :NUM_LANDMARKS]
+    hm = hm.at[..., :33].set(0.0)
+    b, h, w, c = hm.shape
+    flat = jnp.transpose(hm, (0, 3, 1, 2)).reshape(b, c, h * w)
+    idx = jnp.argmax(flat, axis=-1)
+    rows = idx // w
+    cols = idx % w
+    return jnp.stack([rows, cols], axis=-1).astype(jnp.float32) * 4.0

@@ -1,0 +1,303 @@
+"""StarGAN-v2 style anonymization networks (Flax, NHWC, TPU-first).
+
+Same architecture family as the reference's ``core/model.py`` —
+Generator (reference model.py:125-184), MappingNetwork (:187-216),
+StyleEncoder (:219-250), Discriminator (:253-277) — re-implemented as
+Flax modules:
+
+- NHWC layout throughout (TPU conv-native), instance norm as
+  per-channel GroupNorm.
+- The generator's heatmap-guided HighPass skip connections
+  (model.py:169-183) use exact torch-bilinear mask resizing.
+- With ``w_hpf > 0`` the decoder blocks are residual-only (no shortcut
+  path), matching AdainResBlk.forward (model.py:105-109).
+- Domain-indexed heads (``out[range(B), y]``) become a one-hot
+  contraction — gather-free, MXU/VPU friendly, identical result.
+
+Weight init mirrors the reference's ``he_init`` (core/utils.py:37-45):
+Kaiming-normal fan-in for conv/dense kernels, zero bias.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.image import avg_pool_2x, resize_bilinear, upsample_nearest_2x
+
+he_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def _conv(features: int, kernel: int, stride: int = 1, pad: str | int = "SAME", bias=True):
+    padding = pad if isinstance(pad, str) else [(pad, pad), (pad, pad)]
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=padding,
+        use_bias=bias,
+        kernel_init=he_init,
+    )
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample per-channel normalization over H, W (torch semantics)."""
+
+    affine: bool = True
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        var = jnp.var(x, axis=(-3, -2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            c = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            y = y * scale + bias
+        return y
+
+
+class ResBlk(nn.Module):
+    """Pre-activation residual block with optional IN and 2x downsample."""
+
+    dim_in: int
+    dim_out: int
+    normalize: bool = False
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        # Shortcut.
+        s = x
+        if self.dim_in != self.dim_out:
+            s = _conv(self.dim_out, 1, bias=False)(s)
+        if self.downsample:
+            s = avg_pool_2x(s)
+        # Residual.
+        r = x
+        if self.normalize:
+            r = InstanceNorm()(r)
+        r = nn.leaky_relu(r, 0.2)
+        r = _conv(self.dim_in, 3)(r)
+        if self.downsample:
+            r = avg_pool_2x(r)
+        if self.normalize:
+            r = InstanceNorm()(r)
+        r = nn.leaky_relu(r, 0.2)
+        r = _conv(self.dim_out, 3)(r)
+        return (s + r) / math.sqrt(2)
+
+
+class AdaIN(nn.Module):
+    """Style-modulated instance norm: (1 + gamma) * IN(x) + beta."""
+
+    num_features: int
+
+    @nn.compact
+    def __call__(self, x, s):
+        h = nn.Dense(self.num_features * 2, kernel_init=he_init)(s)
+        gamma, beta = jnp.split(h, 2, axis=-1)
+        y = InstanceNorm(affine=False)(x)
+        return (1 + gamma[:, None, None, :]) * y + beta[:, None, None, :]
+
+
+class AdainResBlk(nn.Module):
+    """Style-modulated residual block with optional 2x nearest upsample.
+
+    With ``w_hpf != 0`` the output is the residual branch alone
+    (reference model.py:105-109).
+    """
+
+    dim_in: int
+    dim_out: int
+    style_dim: int = 64
+    w_hpf: float = 0.0
+    upsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, s):
+        r = AdaIN(self.dim_in)(x, s)
+        r = nn.leaky_relu(r, 0.2)
+        if self.upsample:
+            r = upsample_nearest_2x(r)
+        r = _conv(self.dim_out, 3)(r)
+        r = AdaIN(self.dim_out)(r, s)
+        r = nn.leaky_relu(r, 0.2)
+        r = _conv(self.dim_out, 3)(r)
+        if self.w_hpf == 0:
+            sc = x
+            if self.upsample:
+                sc = upsample_nearest_2x(sc)
+            if self.dim_in != self.dim_out:
+                sc = _conv(self.dim_out, 1, bias=False)(sc)
+            r = (r + sc) / math.sqrt(2)
+        return r
+
+
+def highpass(x: jnp.ndarray, w_hpf: float) -> jnp.ndarray:
+    """Depthwise 3x3 Laplacian sharpening filter (reference model.py:112-122)."""
+    k = jnp.asarray(
+        np.array([[-1, -1, -1], [-1, 8.0, -1], [-1, -1, -1]], dtype=np.float32) / w_hpf
+    )
+    c = x.shape[-1]
+    kernel = jnp.tile(k[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
+    return jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def _channel_dims(img_size: int, max_conv_dim: int, num_blocks: int) -> list[int]:
+    dims = [2**14 // img_size]
+    for _ in range(num_blocks):
+        dims.append(min(dims[-1] * 2, max_conv_dim))
+    return dims
+
+
+class Generator(nn.Module):
+    """Encoder/decoder with style-modulated decoding and heatmap-guided
+    high-pass skips at 32/64/128 feature resolutions."""
+
+    img_size: int = 256
+    style_dim: int = 64
+    max_conv_dim: int = 512
+    w_hpf: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, s, masks=None):
+        repeat_num = int(math.log2(self.img_size)) - 4
+        if self.w_hpf > 0:
+            repeat_num += 1
+        dims = _channel_dims(self.img_size, self.max_conv_dim, repeat_num)
+
+        x = _conv(dims[0], 3)(x)
+        cache = {}
+        # Encode.
+        for i in range(repeat_num):
+            if masks is not None and x.shape[-3] in (32, 64, 128):
+                cache[x.shape[-3]] = x - jnp.mean(x)
+            x = ResBlk(dims[i], dims[i + 1], normalize=True, downsample=True)(x)
+        for _ in range(2):
+            x = ResBlk(dims[-1], dims[-1], normalize=True)(x)
+        # Decode.
+        for _ in range(2):
+            x = AdainResBlk(dims[-1], dims[-1], self.style_dim, w_hpf=self.w_hpf)(x, s)
+        for i in reversed(range(repeat_num)):
+            x = AdainResBlk(
+                dims[i + 1], dims[i], self.style_dim, w_hpf=self.w_hpf, upsample=True
+            )(x, s)
+            if masks is not None and x.shape[-3] in (32, 64, 128):
+                size = x.shape[-3]
+                mask = masks[0] if size == 32 else masks[1]
+                mask = resize_bilinear(mask, (size, size))
+                x = x + highpass(mask * cache[size], self.w_hpf)
+        x = InstanceNorm()(x)
+        x = nn.leaky_relu(x, 0.2)
+        return _conv(3, 1, pad=0)(x)
+
+
+def _select_domain(out: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Pick each sample's domain head: one-hot contraction, no gather."""
+    onehot = jax.nn.one_hot(y, out.shape[1], dtype=out.dtype)
+    return jnp.einsum("bd...,bd->b...", out, onehot)
+
+
+class MappingNetwork(nn.Module):
+    """Latent z -> per-domain style codes through an 8-layer MLP tree."""
+
+    latent_dim: int = 16
+    style_dim: int = 64
+    num_domains: int = 2
+
+    @nn.compact
+    def __call__(self, z, y):
+        h = z
+        for _ in range(4):
+            h = nn.relu(nn.Dense(512, kernel_init=he_init)(h))
+        outs = []
+        for _ in range(self.num_domains):
+            u = h
+            for _ in range(3):
+                u = nn.relu(nn.Dense(512, kernel_init=he_init)(u))
+            outs.append(nn.Dense(self.style_dim, kernel_init=he_init)(u))
+        return _select_domain(jnp.stack(outs, axis=1), y)
+
+
+class _ConvTrunk(nn.Module):
+    """Shared conv trunk of StyleEncoder/Discriminator: stem + ResBlks
+    down to 4x4, LReLU, 4x4 valid conv, LReLU -> (B, dim_out)."""
+
+    img_size: int
+    max_conv_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        repeat_num = int(math.log2(self.img_size)) - 2
+        dims = _channel_dims(self.img_size, self.max_conv_dim, repeat_num)
+        x = _conv(dims[0], 3)(x)
+        for i in range(repeat_num):
+            x = ResBlk(dims[i], dims[i + 1], downsample=True)(x)
+        x = nn.leaky_relu(x, 0.2)
+        x = _conv(dims[-1], 4, pad="VALID")(x)
+        x = nn.leaky_relu(x, 0.2)
+        return x.reshape(x.shape[0], -1)
+
+
+class StyleEncoder(nn.Module):
+    """Image -> per-domain style code."""
+
+    img_size: int = 256
+    style_dim: int = 64
+    num_domains: int = 2
+    max_conv_dim: int = 512
+
+    @nn.compact
+    def __call__(self, x, y):
+        h = _ConvTrunk(self.img_size, self.max_conv_dim)(x)
+        outs = [
+            nn.Dense(self.style_dim, kernel_init=he_init)(h)
+            for _ in range(self.num_domains)
+        ]
+        return _select_domain(jnp.stack(outs, axis=1), y)
+
+
+class Discriminator(nn.Module):
+    """Multi-domain real/fake logits, one per domain, select by y."""
+
+    img_size: int = 256
+    num_domains: int = 2
+    max_conv_dim: int = 512
+
+    @nn.compact
+    def __call__(self, x, y):
+        h = _ConvTrunk(self.img_size, self.max_conv_dim)(x)
+        out = nn.Dense(self.num_domains, kernel_init=he_init)(h)  # (B, D)
+        return _select_domain(out, y)
+
+
+def build_gan_models(
+    img_size: int = 256,
+    style_dim: int = 64,
+    latent_dim: int = 16,
+    num_domains: int = 2,
+    w_hpf: float = 1.0,
+    max_conv_dim: int = 512,
+) -> dict[str, nn.Module]:
+    """Instantiate the four GAN nets (reference build_model, model.py:280-310).
+
+    EMA copies are parameter pytrees, not modules — see train.gan.
+    """
+    return dict(
+        generator=Generator(img_size, style_dim, max_conv_dim, w_hpf),
+        mapping_network=MappingNetwork(latent_dim, style_dim, num_domains),
+        style_encoder=StyleEncoder(img_size, style_dim, num_domains, max_conv_dim),
+        discriminator=Discriminator(img_size, num_domains, max_conv_dim),
+    )

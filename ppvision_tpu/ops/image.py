@@ -1,0 +1,76 @@
+"""Image resampling ops with exact torch ``F.interpolate`` semantics.
+
+The reference resizes heatmaps/masks with ``F.interpolate`` in three
+flavors (bilinear align_corners True and False, nearest); parity
+requires replicating them exactly — ``jax.image.resize`` antialiases on
+downsampling and has no align_corners mode, so these are implemented as
+static gather+lerp over precomputed indices (XLA fuses them).
+
+Layout: NHWC.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "resize_bilinear",
+    "resize_nearest",
+    "avg_pool_2x",
+    "upsample_nearest_2x",
+]
+
+
+def _bilinear_weights(in_size: int, out_size: int, align_corners: bool):
+    """Static (lo, hi, w_hi) gather indices/weights for one axis."""
+    i = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        src = i * scale
+    else:
+        scale = in_size / out_size
+        src = np.clip((i + 0.5) * scale - 0.5, 0.0, None)
+    lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    w = (src - lo).astype(np.float32)
+    return jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(w)
+
+
+def resize_bilinear(
+    x: jnp.ndarray, out_hw: tuple[int, int], align_corners: bool = False
+) -> jnp.ndarray:
+    """Bilinear resize of an NHWC tensor, matching torch F.interpolate."""
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    lo, hi, wt = _bilinear_weights(h, oh, align_corners)
+    wt = wt[:, None, None]
+    x = x.take(lo, axis=-3) * (1 - wt) + x.take(hi, axis=-3) * wt
+    lo, hi, wt = _bilinear_weights(w, ow, align_corners)
+    wt = wt[:, None]
+    x = x.take(lo, axis=-2) * (1 - wt) + x.take(hi, axis=-2) * wt
+    return x
+
+
+def resize_nearest(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Nearest resize (torch semantics: src = floor(i * in / out))."""
+    h, w = x.shape[-3], x.shape[-2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return x
+    ridx = jnp.asarray((np.arange(oh) * h) // oh)
+    cidx = jnp.asarray((np.arange(ow) * w) // ow)
+    return x.take(ridx, axis=-3).take(cidx, axis=-2)
+
+
+def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 stride-2 mean pool of an NHWC tensor (reshape trick)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x nearest upsample (exact duplication)."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=-3), 2, axis=-2)

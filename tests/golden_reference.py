@@ -66,12 +66,33 @@ def install_torchvision_stub():
     sys.modules["torchvision.transforms"] = transforms
 
 
+def _fresh_camera_package(project: str):
+    """Both reference projects ship a ``Camera`` package; purge any
+    previously imported one and put ``project`` first on sys.path so the
+    intra-package star-imports resolve within the right project."""
+    for mod in [m for m in sys.modules if m == "Camera" or m.startswith("Camera.")]:
+        del sys.modules[mod]
+    for p in (f"{REFERENCE_ROOT}/Face-DeId", f"{REFERENCE_ROOT}/Image_Caption"):
+        while p in sys.path:
+            sys.path.remove(p)
+    sys.path.insert(0, f"{REFERENCE_ROOT}/{project}")
+
+
 def import_face_deid_camera():
     """Import the reference Face-DeId Camera class (torch, CPU)."""
     install_poppy_stub()
-    path = f"{REFERENCE_ROOT}/Face-DeId"
-    if path not in sys.path:
-        sys.path.insert(0, path)
+    _fresh_camera_package("Face-DeId")
     from Camera.Optics import Camera  # noqa: PLC0415
 
     return Camera
+
+
+def import_caption_lens():
+    """Import the reference Image_Caption OpticsZernike class."""
+    install_poppy_stub()
+    install_torchvision_stub()
+    install_numpy_compat_shim()
+    _fresh_camera_package("Image_Caption")
+    from Camera.Lens import OpticsZernike  # noqa: PLC0415
+
+    return OpticsZernike

@@ -17,25 +17,14 @@ import jax.numpy as jnp
 
 from ppvision_tpu.optics import lens as plens
 
-from .golden_reference import (
-    REFERENCE_ROOT,
-    install_numpy_compat_shim,
-    install_poppy_stub,
-    install_torchvision_stub,
-)
+from .golden_reference import import_caption_lens
 
 TERMS = 64  # speed; same math as 350
 
 
 @pytest.fixture(scope="module")
 def pair(tmp_path_factory):
-    install_poppy_stub()
-    install_torchvision_stub()
-    install_numpy_compat_shim()
-    path = f"{REFERENCE_ROOT}/Image_Caption"
-    if path not in sys.path:
-        sys.path.insert(0, path)
-    from Camera.Lens import OpticsZernike  # noqa: PLC0415
+    OpticsZernike = import_caption_lens()
 
     # The reference caches zernike volumes into ./zernike_volumes of CWD,
     # and compares against torch.device(0), which raises on CPU-only

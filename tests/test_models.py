@@ -1,0 +1,108 @@
+"""Shape and gradient smoke tests for the StarGAN-v2 zoo and FAN."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppvision_tpu.models import fan as fan_mod
+from ppvision_tpu.models.stargan import (
+    Discriminator,
+    Generator,
+    MappingNetwork,
+    StyleEncoder,
+)
+
+IMG = 128  # keep CPU tests fast; 256 exercised on TPU drives
+
+
+@pytest.fixture(scope="module")
+def keys():
+    return jax.random.split(jax.random.key(0), 8)
+
+
+def test_generator_shapes(keys):
+    g = Generator(img_size=IMG, style_dim=64, w_hpf=1.0)
+    x = jnp.zeros((2, IMG, IMG, 3))
+    s = jnp.zeros((2, 64))
+    masks = (jnp.zeros((2, 256, 256, 1)), jnp.zeros((2, 256, 256, 1)))
+    params = g.init(keys[0], x, s, masks)
+    y = g.apply(params, x, s, masks)
+    assert y.shape == (2, IMG, IMG, 3)
+    # Without masks the skip path is off but shapes hold.
+    y2 = g.apply(params, x, s, None)
+    assert y2.shape == (2, IMG, IMG, 3)
+
+
+def test_generator_whpf0_uses_shortcuts(keys):
+    g = Generator(img_size=64, style_dim=16, w_hpf=0.0)
+    x = jnp.ones((1, 64, 64, 3))
+    s = jnp.ones((1, 16))
+    params = g.init(keys[1], x, s, None)
+    assert np.isfinite(np.asarray(g.apply(params, x, s, None))).all()
+
+
+def test_mapping_and_style_select_domain(keys):
+    m = MappingNetwork(latent_dim=16, style_dim=64, num_domains=3)
+    z = jax.random.normal(keys[2], (4, 16))
+    y = jnp.asarray([0, 1, 2, 1])
+    params = m.init(keys[3], z, y)
+    s = m.apply(params, z, y)
+    assert s.shape == (4, 64)
+    # Same z, different domain -> different style.
+    s0 = m.apply(params, z, jnp.zeros(4, dtype=jnp.int32))
+    s2 = m.apply(params, z, 2 * jnp.ones(4, dtype=jnp.int32))
+    assert np.abs(np.asarray(s0) - np.asarray(s2)).max() > 1e-6
+
+    e = StyleEncoder(img_size=IMG, style_dim=64, num_domains=2)
+    x = jax.random.normal(keys[4], (2, IMG, IMG, 3))
+    ye = jnp.asarray([0, 1])
+    pe = e.init(keys[5], x, ye)
+    se = e.apply(pe, x, ye)
+    assert se.shape == (2, 64)
+
+
+def test_discriminator_logits(keys):
+    d = Discriminator(img_size=IMG, num_domains=2)
+    x = jax.random.normal(keys[6], (2, IMG, IMG, 3))
+    y = jnp.asarray([0, 1])
+    params = d.init(keys[7], x, y)
+    out = d.apply(params, x, y)
+    assert out.shape == (2,)
+
+    def loss(p):
+        return jnp.mean(d.apply(p, x, y) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_fan_forward_and_heatmaps():
+    f = fan_mod.FAN()
+    x = jnp.zeros((1, 256, 256, 3))
+    params = f.init(jax.random.key(0), x)["params"]
+    out = f.apply({"params": params}, x)
+    assert out.shape == (1, 64, 64, 99)
+
+    img = jax.random.uniform(jax.random.key(1), (1, 256, 256, 3))
+    m1, m2 = fan_mod.get_heatmap(f, params, img, privacy=True)
+    assert m1.shape == (1, 256, 256, 1) and m2.shape == (1, 256, 256, 1)
+    assert float(m1.max()) <= 1.0 and float(m1.min()) >= 0.0
+
+    p1, p2 = fan_mod.get_heatmap(f, params, img, privacy=False)
+    assert p1.shape == (1, 256, 256, 1) and p2.shape == (1, 256, 256, 1)
+
+    d1, _ = fan_mod.get_heatmap(f, params, img, delimiter=True)
+    assert d1.shape == (1, 256, 256, 1)
+
+    lm = fan_mod.estimate_landmarks(f, params, img)
+    assert lm.shape == (1, 98, 2)
+
+
+def test_preprocess_shift_is_circular_roll():
+    """shift(x, N) must equal a circular roll of rows by -N."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(1, 8, 4, 98)).astype(np.float32))
+    rolled = fan_mod._roll_rows(x, 3)
+    np.testing.assert_allclose(np.asarray(rolled), np.roll(np.asarray(x), -3, axis=1))
