@@ -31,19 +31,20 @@ def main() -> None:
     y_ref = jnp.zeros((batch,), dtype=jnp.int32)
 
     # The tunnel backend's block_until_ready does not synchronize with
-    # device completion; a scalar host transfer does.  Return a checksum
-    # and force it to the host inside the timed region.
+    # device completion, and chained async dispatches time unreliably;
+    # force a scalar host transfer on EVERY timed call and take the
+    # minimum (steady-state) iteration.
     fn = jax.jit(
         lambda p, xs, xr, yr: jnp.sum(deid_from_reference(bundle, p, xs, xr, yr))
     )
     float(fn(bundle.params, x_src, x_ref, y_ref))  # compile + warm up
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters - 1):
-        out = fn(bundle.params, x_src, x_ref, y_ref)
-    float(fn(bundle.params, x_src, x_ref, y_ref))
-    dt = (time.perf_counter() - t0) / iters
+    times = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        float(fn(bundle.params, x_src, x_ref, y_ref))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     img_s = batch / dt
 
     print(

@@ -25,6 +25,9 @@ class ModelConfig:
     # FAN runs at this input resolution (reference: always 256,
     # wing.py:244). Lower only for tests/dry-runs.
     fan_input_size: int = 256
+    # Compute dtype of the conv nets (params stay float32). bfloat16 is
+    # the TPU fast path; use "float32" for strict-precision runs.
+    compute_dtype: str = "bfloat16"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -62,6 +62,7 @@ def build_deid(key: jax.Array, cfg: FaceDeIdConfig | None = None) -> DeIdBundle:
     Pretrained weights load over this via utils.checkpoint.
     """
     cfg = cfg or FaceDeIdConfig()
+    dtype = jnp.dtype(cfg.model.compute_dtype)
     models = build_gan_models(
         img_size=cfg.model.img_size,
         style_dim=cfg.model.style_dim,
@@ -69,8 +70,9 @@ def build_deid(key: jax.Array, cfg: FaceDeIdConfig | None = None) -> DeIdBundle:
         num_domains=cfg.model.num_domains,
         w_hpf=cfg.model.w_hpf,
         max_conv_dim=cfg.model.max_conv_dim,
+        dtype=dtype,
     )
-    fan = FAN()
+    fan = FAN(dtype=dtype)
     kc, kf, kg, km, ke = jax.random.split(key, 5)
     n = cfg.model.img_size
     spec = CameraSpec(n=n, zernike_terms=cfg.camera.zernike_terms)

@@ -56,11 +56,12 @@ class CoordConv(nn.Module):
     stride: int = 1
     with_r: bool = False
     with_boundary: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, heatmap=None):
         h, w = x.shape[-3], x.shape[-2]
-        coords = jnp.asarray(_coord_channels(h, w, self.with_r))
+        coords = jnp.asarray(_coord_channels(h, w, self.with_r), dtype=x.dtype)
         coords = jnp.broadcast_to(coords, (x.shape[0],) + coords.shape)
         feats = [x, coords]
         if self.with_boundary and heatmap is not None:
@@ -75,6 +76,7 @@ class CoordConv(nn.Module):
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=[(pad, pad), (pad, pad)],
+            dtype=self.dtype,
         )(x)
 
 
@@ -90,7 +92,10 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
         mean = self.param("mean", nn.initializers.zeros, (c,))
         var = self.param("var", nn.initializers.ones, (c,))
-        return (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        # Fold stats into one scale/shift, applied in the compute dtype.
+        mul = (jax.lax.rsqrt(var + self.eps) * scale).astype(x.dtype)
+        add = (bias - mean * jax.lax.rsqrt(var + self.eps) * scale).astype(x.dtype)
+        return x * mul + add
 
 
 class DenseConvBlock(nn.Module):
@@ -99,6 +104,7 @@ class DenseConvBlock(nn.Module):
 
     in_features: int
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -107,7 +113,10 @@ class DenseConvBlock(nn.Module):
         def bn_relu_conv(h, out):
             h = FrozenBatchNorm()(h)
             h = nn.relu(h)
-            return nn.Conv(out, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False)(h)
+            return nn.Conv(
+                out, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                dtype=self.dtype,
+            )(h)
 
         o1 = bn_relu_conv(x, half)
         o2 = bn_relu_conv(o1, quarter)
@@ -117,7 +126,7 @@ class DenseConvBlock(nn.Module):
         if self.in_features != self.features:
             res = FrozenBatchNorm()(res)
             res = nn.relu(res)
-            res = nn.Conv(self.features, (1, 1), use_bias=False)(res)
+            res = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(res)
         return out + res
 
 
@@ -126,20 +135,23 @@ class HourGlass(nn.Module):
 
     depth: int = 4
     features: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, heatmap=None):
-        x = CoordConv(self.features, 1, with_r=True, with_boundary=True)(x, heatmap)
+        x = CoordConv(
+            self.features, 1, with_r=True, with_boundary=True, dtype=self.dtype
+        )(x, heatmap)
 
         def level(h, d):
-            up1 = DenseConvBlock(self.features, self.features)(h)
+            up1 = DenseConvBlock(self.features, self.features, dtype=self.dtype)(h)
             low = avg_pool_2x(h)
-            low = DenseConvBlock(self.features, self.features)(low)
+            low = DenseConvBlock(self.features, self.features, dtype=self.dtype)(low)
             if d > 1:
                 low = level(low, d - 1)
             else:
-                low = DenseConvBlock(self.features, self.features)(low)
-            low = DenseConvBlock(self.features, self.features)(low)
+                low = DenseConvBlock(self.features, self.features, dtype=self.dtype)(low)
+            low = DenseConvBlock(self.features, self.features, dtype=self.dtype)(low)
             return up1 + upsample_nearest_2x(low)
 
         return level(x, self.depth)
@@ -149,21 +161,25 @@ class FAN(nn.Module):
     """Single-stack FAN: stem to 64x64x256, hourglass, 99-channel head."""
 
     num_landmarks: int = NUM_LANDMARKS
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = CoordConv(64, 7, stride=2, with_r=True)(x)  # 256 -> 128
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = CoordConv(64, 7, stride=2, with_r=True, dtype=self.dtype)(x)  # 256 -> 128
         x = nn.relu(FrozenBatchNorm()(x))
-        x = DenseConvBlock(64, 128)(x)
+        x = DenseConvBlock(64, 128, dtype=self.dtype)(x)
         x = avg_pool_2x(x)  # 128 -> 64
-        x = DenseConvBlock(128, 128)(x)
-        x = DenseConvBlock(128, 256)(x)
+        x = DenseConvBlock(128, 128, dtype=self.dtype)(x)
+        x = DenseConvBlock(128, 256, dtype=self.dtype)(x)
 
-        h = HourGlass()(x, None)
-        h = DenseConvBlock(256, 256)(h)
-        h = nn.Conv(256, (1, 1))(h)
+        h = HourGlass(dtype=self.dtype)(x, None)
+        h = DenseConvBlock(256, 256, dtype=self.dtype)(h)
+        h = nn.Conv(256, (1, 1), dtype=self.dtype)(h)
         h = nn.relu(FrozenBatchNorm()(h))
-        return nn.Conv(self.num_landmarks + 1, (1, 1))(h)  # (B, 64, 64, 99)
+        out = nn.Conv(self.num_landmarks + 1, (1, 1), dtype=self.dtype)(h)
+        return out.astype(jnp.float32)  # (B, 64, 64, 99)
 
 
 # ---------------------------------------------------------------------------

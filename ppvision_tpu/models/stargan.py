@@ -33,7 +33,10 @@ from ..ops.image import avg_pool_2x, resize_bilinear, upsample_nearest_2x
 he_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
-def _conv(features: int, kernel: int, stride: int = 1, pad: str | int = "SAME", bias=True):
+def _conv(
+    features: int, kernel: int, stride: int = 1, pad: str | int = "SAME",
+    bias=True, dtype=None,
+):
     padding = pad if isinstance(pad, str) else [(pad, pad), (pad, pad)]
     return nn.Conv(
         features,
@@ -42,6 +45,7 @@ def _conv(features: int, kernel: int, stride: int = 1, pad: str | int = "SAME", 
         padding=padding,
         use_bias=bias,
         kernel_init=he_init,
+        dtype=dtype,
     )
 
 
@@ -53,15 +57,17 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
-        var = jnp.var(x, axis=(-3, -2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        # Statistics in float32 regardless of compute dtype.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
+        var = jnp.var(xf, axis=(-3, -2), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         if self.affine:
             c = x.shape[-1]
             scale = self.param("scale", nn.initializers.ones, (c,))
             bias = self.param("bias", nn.initializers.zeros, (c,))
             y = y * scale + bias
-        return y
+        return y.astype(x.dtype)
 
 
 class ResBlk(nn.Module):
@@ -71,13 +77,14 @@ class ResBlk(nn.Module):
     dim_out: int
     normalize: bool = False
     downsample: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         # Shortcut.
         s = x
         if self.dim_in != self.dim_out:
-            s = _conv(self.dim_out, 1, bias=False)(s)
+            s = _conv(self.dim_out, 1, bias=False, dtype=self.dtype)(s)
         if self.downsample:
             s = avg_pool_2x(s)
         # Residual.
@@ -85,27 +92,29 @@ class ResBlk(nn.Module):
         if self.normalize:
             r = InstanceNorm()(r)
         r = nn.leaky_relu(r, 0.2)
-        r = _conv(self.dim_in, 3)(r)
+        r = _conv(self.dim_in, 3, dtype=self.dtype)(r)
         if self.downsample:
             r = avg_pool_2x(r)
         if self.normalize:
             r = InstanceNorm()(r)
         r = nn.leaky_relu(r, 0.2)
-        r = _conv(self.dim_out, 3)(r)
-        return (s + r) / math.sqrt(2)
+        r = _conv(self.dim_out, 3, dtype=self.dtype)(r)
+        return ((s + r) / math.sqrt(2)).astype(r.dtype)
 
 
 class AdaIN(nn.Module):
     """Style-modulated instance norm: (1 + gamma) * IN(x) + beta."""
 
     num_features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, s):
-        h = nn.Dense(self.num_features * 2, kernel_init=he_init)(s)
+        h = nn.Dense(self.num_features * 2, kernel_init=he_init, dtype=self.dtype)(s)
         gamma, beta = jnp.split(h, 2, axis=-1)
         y = InstanceNorm(affine=False)(x)
-        return (1 + gamma[:, None, None, :]) * y + beta[:, None, None, :]
+        out = (1 + gamma[:, None, None, :]) * y + beta[:, None, None, :]
+        return out.astype(x.dtype)
 
 
 class AdainResBlk(nn.Module):
@@ -120,31 +129,33 @@ class AdainResBlk(nn.Module):
     style_dim: int = 64
     w_hpf: float = 0.0
     upsample: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, s):
-        r = AdaIN(self.dim_in)(x, s)
+        r = AdaIN(self.dim_in, dtype=self.dtype)(x, s)
         r = nn.leaky_relu(r, 0.2)
         if self.upsample:
             r = upsample_nearest_2x(r)
-        r = _conv(self.dim_out, 3)(r)
-        r = AdaIN(self.dim_out)(r, s)
+        r = _conv(self.dim_out, 3, dtype=self.dtype)(r)
+        r = AdaIN(self.dim_out, dtype=self.dtype)(r, s)
         r = nn.leaky_relu(r, 0.2)
-        r = _conv(self.dim_out, 3)(r)
+        r = _conv(self.dim_out, 3, dtype=self.dtype)(r)
         if self.w_hpf == 0:
             sc = x
             if self.upsample:
                 sc = upsample_nearest_2x(sc)
             if self.dim_in != self.dim_out:
-                sc = _conv(self.dim_out, 1, bias=False)(sc)
-            r = (r + sc) / math.sqrt(2)
+                sc = _conv(self.dim_out, 1, bias=False, dtype=self.dtype)(sc)
+            r = ((r + sc) / math.sqrt(2)).astype(r.dtype)
         return r
 
 
 def highpass(x: jnp.ndarray, w_hpf: float) -> jnp.ndarray:
     """Depthwise 3x3 Laplacian sharpening filter (reference model.py:112-122)."""
     k = jnp.asarray(
-        np.array([[-1, -1, -1], [-1, 8.0, -1], [-1, -1, -1]], dtype=np.float32) / w_hpf
+        np.array([[-1, -1, -1], [-1, 8.0, -1], [-1, -1, -1]], dtype=np.float32) / w_hpf,
+        dtype=x.dtype,
     )
     c = x.shape[-1]
     kernel = jnp.tile(k[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
@@ -170,6 +181,7 @@ class Generator(nn.Module):
     style_dim: int = 64
     max_conv_dim: int = 512
     w_hpf: float = 1.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, s, masks=None):
@@ -178,30 +190,36 @@ class Generator(nn.Module):
             repeat_num += 1
         dims = _channel_dims(self.img_size, self.max_conv_dim, repeat_num)
 
-        x = _conv(dims[0], 3)(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            s = s.astype(self.dtype)
+        x = _conv(dims[0], 3, dtype=self.dtype)(x)
         cache = {}
         # Encode.
         for i in range(repeat_num):
             if masks is not None and x.shape[-3] in (32, 64, 128):
-                cache[x.shape[-3]] = x - jnp.mean(x)
-            x = ResBlk(dims[i], dims[i + 1], normalize=True, downsample=True)(x)
+                cache[x.shape[-3]] = x - jnp.mean(x).astype(x.dtype)
+            x = ResBlk(dims[i], dims[i + 1], normalize=True, downsample=True,
+                       dtype=self.dtype)(x)
         for _ in range(2):
-            x = ResBlk(dims[-1], dims[-1], normalize=True)(x)
+            x = ResBlk(dims[-1], dims[-1], normalize=True, dtype=self.dtype)(x)
         # Decode.
         for _ in range(2):
-            x = AdainResBlk(dims[-1], dims[-1], self.style_dim, w_hpf=self.w_hpf)(x, s)
+            x = AdainResBlk(dims[-1], dims[-1], self.style_dim, w_hpf=self.w_hpf,
+                            dtype=self.dtype)(x, s)
         for i in reversed(range(repeat_num)):
             x = AdainResBlk(
-                dims[i + 1], dims[i], self.style_dim, w_hpf=self.w_hpf, upsample=True
+                dims[i + 1], dims[i], self.style_dim, w_hpf=self.w_hpf,
+                upsample=True, dtype=self.dtype,
             )(x, s)
             if masks is not None and x.shape[-3] in (32, 64, 128):
                 size = x.shape[-3]
                 mask = masks[0] if size == 32 else masks[1]
-                mask = resize_bilinear(mask, (size, size))
+                mask = resize_bilinear(mask, (size, size)).astype(x.dtype)
                 x = x + highpass(mask * cache[size], self.w_hpf)
         x = InstanceNorm()(x)
         x = nn.leaky_relu(x, 0.2)
-        return _conv(3, 1, pad=0)(x)
+        return _conv(3, 1, pad=0, dtype=self.dtype)(x).astype(jnp.float32)
 
 
 def _select_domain(out: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -216,19 +234,20 @@ class MappingNetwork(nn.Module):
     latent_dim: int = 16
     style_dim: int = 64
     num_domains: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, z, y):
-        h = z
+        h = z if self.dtype is None else z.astype(self.dtype)
         for _ in range(4):
-            h = nn.relu(nn.Dense(512, kernel_init=he_init)(h))
+            h = nn.relu(nn.Dense(512, kernel_init=he_init, dtype=self.dtype)(h))
         outs = []
         for _ in range(self.num_domains):
             u = h
             for _ in range(3):
-                u = nn.relu(nn.Dense(512, kernel_init=he_init)(u))
-            outs.append(nn.Dense(self.style_dim, kernel_init=he_init)(u))
-        return _select_domain(jnp.stack(outs, axis=1), y)
+                u = nn.relu(nn.Dense(512, kernel_init=he_init, dtype=self.dtype)(u))
+            outs.append(nn.Dense(self.style_dim, kernel_init=he_init, dtype=self.dtype)(u))
+        return _select_domain(jnp.stack(outs, axis=1), y).astype(jnp.float32)
 
 
 class _ConvTrunk(nn.Module):
@@ -237,16 +256,19 @@ class _ConvTrunk(nn.Module):
 
     img_size: int
     max_conv_dim: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         repeat_num = int(math.log2(self.img_size)) - 2
         dims = _channel_dims(self.img_size, self.max_conv_dim, repeat_num)
-        x = _conv(dims[0], 3)(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = _conv(dims[0], 3, dtype=self.dtype)(x)
         for i in range(repeat_num):
-            x = ResBlk(dims[i], dims[i + 1], downsample=True)(x)
+            x = ResBlk(dims[i], dims[i + 1], downsample=True, dtype=self.dtype)(x)
         x = nn.leaky_relu(x, 0.2)
-        x = _conv(dims[-1], 4, pad="VALID")(x)
+        x = _conv(dims[-1], 4, pad="VALID", dtype=self.dtype)(x)
         x = nn.leaky_relu(x, 0.2)
         return x.reshape(x.shape[0], -1)
 
@@ -258,15 +280,16 @@ class StyleEncoder(nn.Module):
     style_dim: int = 64
     num_domains: int = 2
     max_conv_dim: int = 512
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, y):
-        h = _ConvTrunk(self.img_size, self.max_conv_dim)(x)
+        h = _ConvTrunk(self.img_size, self.max_conv_dim, dtype=self.dtype)(x)
         outs = [
-            nn.Dense(self.style_dim, kernel_init=he_init)(h)
+            nn.Dense(self.style_dim, kernel_init=he_init, dtype=self.dtype)(h)
             for _ in range(self.num_domains)
         ]
-        return _select_domain(jnp.stack(outs, axis=1), y)
+        return _select_domain(jnp.stack(outs, axis=1), y).astype(jnp.float32)
 
 
 class Discriminator(nn.Module):
@@ -275,12 +298,13 @@ class Discriminator(nn.Module):
     img_size: int = 256
     num_domains: int = 2
     max_conv_dim: int = 512
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, y):
-        h = _ConvTrunk(self.img_size, self.max_conv_dim)(x)
-        out = nn.Dense(self.num_domains, kernel_init=he_init)(h)  # (B, D)
-        return _select_domain(out, y)
+        h = _ConvTrunk(self.img_size, self.max_conv_dim, dtype=self.dtype)(x)
+        out = nn.Dense(self.num_domains, kernel_init=he_init, dtype=self.dtype)(h)
+        return _select_domain(out, y).astype(jnp.float32)
 
 
 def build_gan_models(
@@ -290,14 +314,18 @@ def build_gan_models(
     num_domains: int = 2,
     w_hpf: float = 1.0,
     max_conv_dim: int = 512,
+    dtype: Any = None,
 ) -> dict[str, nn.Module]:
     """Instantiate the four GAN nets (reference build_model, model.py:280-310).
 
+    ``dtype`` is the compute dtype (bfloat16 on TPU); params stay f32.
     EMA copies are parameter pytrees, not modules — see train.gan.
     """
     return dict(
-        generator=Generator(img_size, style_dim, max_conv_dim, w_hpf),
-        mapping_network=MappingNetwork(latent_dim, style_dim, num_domains),
-        style_encoder=StyleEncoder(img_size, style_dim, num_domains, max_conv_dim),
-        discriminator=Discriminator(img_size, num_domains, max_conv_dim),
+        generator=Generator(img_size, style_dim, max_conv_dim, w_hpf, dtype=dtype),
+        mapping_network=MappingNetwork(latent_dim, style_dim, num_domains, dtype=dtype),
+        style_encoder=StyleEncoder(
+            img_size, style_dim, num_domains, max_conv_dim, dtype=dtype
+        ),
+        discriminator=Discriminator(img_size, num_domains, max_conv_dim, dtype=dtype),
     )

@@ -83,6 +83,7 @@ def init_gan(
     key: jax.Array, cfg: FaceDeIdConfig
 ) -> tuple[dict[str, Any], FAN, GANTrainState]:
     """Build modules, init params + EMA copies + optimizer states."""
+    dtype = jnp.dtype(cfg.model.compute_dtype)
     models = build_gan_models(
         img_size=cfg.model.img_size,
         style_dim=cfg.model.style_dim,
@@ -90,6 +91,7 @@ def init_gan(
         num_domains=cfg.model.num_domains,
         w_hpf=cfg.model.w_hpf,
         max_conv_dim=cfg.model.max_conv_dim,
+        dtype=dtype,
     )
     kg, km, ke, kd = jax.random.split(key, 4)
     n = cfg.model.img_size
@@ -110,7 +112,7 @@ def init_gan(
     state = GANTrainState(
         params=params, opt_states=opt_states, ema_params=ema, step=jnp.zeros((), jnp.int32)
     )
-    return models, FAN(), state
+    return models, FAN(dtype=dtype), state
 
 
 def adv_loss(logits: jnp.ndarray, target: int) -> jnp.ndarray:
