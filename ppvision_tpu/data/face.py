@@ -1,0 +1,244 @@
+"""Face-DeId data pipeline (CelebA-HQ style folders), TPU-first.
+
+Replaces the reference's torch DataLoader stack
+(``Face-DeId/core/data_loader.py``) with a host-side numpy/PIL pipeline
+and a background-thread device prefetcher:
+
+- ``ImageFolderDataset`` — class-per-subdir labels (torchvision
+  ImageFolder semantics, data_loader.py:126-127).
+- ``ReferenceDataset`` — per-domain (image, second image, label)
+  triples (data_loader.py:52-84).
+- Balanced domain sampling (WeightedRandomSampler equivalent,
+  data_loader.py:101-105) as per-draw inverse-frequency choice.
+- Train transform: random-resized-crop (scale 0.8-1, ratio 0.9-1.1)
+  with probability 0.5, resize, random hflip, scale to [0, 1] — NO
+  mean normalization (images stay [0,1], data_loader.py:113-124).
+- ``FaceBatcher`` — the InputFetcher equivalent (data_loader.py:195-238):
+  infinite iterator of dict batches with fresh gaussian latents, with a
+  one-deep background prefetch overlapping host decode with device
+  compute.
+
+Eval loader variants (299^2 ImageNet-normalized for FID, plain [0,1])
+mirror data_loader.py:142-192.
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+__all__ = [
+    "list_images",
+    "ImageFolderDataset",
+    "ReferenceDataset",
+    "FaceBatcher",
+    "eval_batches",
+]
+
+IMG_EXTS = ("png", "jpg", "jpeg", "JPG")
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def list_images(root: str) -> list[str]:
+    out: list[str] = []
+    for ext in IMG_EXTS:
+        out.extend(str(p) for p in Path(root).rglob(f"*.{ext}"))
+    return out
+
+
+def _load_rgb(path: str) -> "np.ndarray":
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def _resize(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    from PIL import Image
+
+    if img.shape[:2] == size:
+        return img
+    return np.asarray(
+        Image.fromarray(img).resize((size[1], size[0]), Image.BILINEAR)
+    )
+
+
+def _random_resized_crop(
+    img: np.ndarray, rng: np.random.Generator, out: int,
+    scale=(0.8, 1.0), ratio=(0.9, 1.1),
+) -> np.ndarray:
+    """torchvision RandomResizedCrop semantics (10 attempts + fallback)."""
+    h, w = img.shape[:2]
+    area = h * w
+    for _ in range(10):
+        target = area * rng.uniform(*scale)
+        ar = math.exp(rng.uniform(math.log(ratio[0]), math.log(ratio[1])))
+        cw = int(round(math.sqrt(target * ar)))
+        ch = int(round(math.sqrt(target / ar)))
+        if 0 < cw <= w and 0 < ch <= h:
+            top = int(rng.integers(0, h - ch + 1))
+            left = int(rng.integers(0, w - cw + 1))
+            crop = img[top : top + ch, left : left + cw]
+            return _resize(crop, (out, out))
+    # Fallback: center crop to in-range aspect.
+    s = min(h, w)
+    top, left = (h - s) // 2, (w - s) // 2
+    return _resize(img[top : top + s, left : left + s], (out, out))
+
+
+def train_transform(
+    img: np.ndarray, rng: np.random.Generator, img_size: int, crop_prob: float = 0.5
+) -> np.ndarray:
+    if rng.random() < crop_prob:
+        img = _random_resized_crop(img, rng, img_size)
+    img = _resize(img, (img_size, img_size))
+    if rng.random() < 0.5:
+        img = img[:, ::-1]
+    return np.ascontiguousarray(img, dtype=np.float32) / 255.0
+
+
+class ImageFolderDataset:
+    """Images under class subdirectories; targets = sorted-class index."""
+
+    def __init__(self, root: str):
+        self.samples: list[str] = []
+        self.targets: list[int] = []
+        classes = sorted(
+            d.name for d in Path(root).iterdir() if d.is_dir()
+        )
+        self.classes = classes
+        for idx, cls in enumerate(classes):
+            files = sorted(list_images(str(Path(root) / cls)))
+            self.samples.extend(files)
+            self.targets.extend([idx] * len(files))
+
+    def __len__(self):
+        return len(self.samples)
+
+
+class ReferenceDataset(ImageFolderDataset):
+    """Adds a shuffled second image from the same domain per sample
+    (data_loader.py:57-66)."""
+
+    def __init__(self, root: str, seed: int = 0):
+        super().__init__(root)
+        rng = np.random.default_rng(seed)
+        self.samples2: list[str] = []
+        targets = np.asarray(self.targets)
+        samples = np.asarray(self.samples)
+        for idx in range(len(self.classes)):
+            cls_files = samples[targets == idx]
+            self.samples2.extend(rng.permutation(cls_files).tolist())
+
+
+def _balanced_indices(targets: list[int], rng: np.random.Generator, n: int) -> np.ndarray:
+    counts = np.bincount(targets)
+    weights = (1.0 / counts)[targets]
+    p = weights / weights.sum()
+    return rng.choice(len(targets), size=n, replace=True, p=p)
+
+
+class FaceBatcher:
+    """Infinite training-batch iterator with background prefetch.
+
+    Yields dicts with keys x_src, y_src, x_ref, x_ref2, y_ref, z_trg,
+    z_trg2 — the reference InputFetcher 'train' payload
+    (data_loader.py:219-227) — as numpy arrays (NHWC, [0,1]).
+    """
+
+    def __init__(
+        self,
+        src_root: str,
+        ref_root: str,
+        img_size: int = 256,
+        batch_size: int = 8,
+        latent_dim: int = 16,
+        crop_prob: float = 0.5,
+        seed: int = 0,
+        prefetch: int = 2,
+    ):
+        self.src = ImageFolderDataset(src_root)
+        self.ref = ReferenceDataset(ref_root, seed=seed)
+        self.img_size = img_size
+        self.batch_size = batch_size
+        self.latent_dim = latent_dim
+        self.crop_prob = crop_prob
+        self.rng = np.random.default_rng(seed)
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _make_batch(self) -> dict:
+        rng = self.rng
+        b, s = self.batch_size, self.img_size
+        si = _balanced_indices(self.src.targets, rng, b)
+        ri = _balanced_indices(self.ref.targets, rng, b)
+        x_src = np.stack(
+            [train_transform(_load_rgb(self.src.samples[i]), rng, s, self.crop_prob) for i in si]
+        )
+        x_ref = np.stack(
+            [train_transform(_load_rgb(self.ref.samples[i]), rng, s, self.crop_prob) for i in ri]
+        )
+        x_ref2 = np.stack(
+            [train_transform(_load_rgb(self.ref.samples2[i]), rng, s, self.crop_prob) for i in ri]
+        )
+        return dict(
+            x_src=x_src,
+            y_src=np.asarray([self.src.targets[i] for i in si], np.int32),
+            x_ref=x_ref,
+            x_ref2=x_ref2,
+            y_ref=np.asarray([self.ref.targets[i] for i in ri], np.int32),
+            z_trg=rng.standard_normal((b, self.latent_dim)).astype(np.float32),
+            z_trg2=rng.standard_normal((b, self.latent_dim)).astype(np.float32),
+        )
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                self._q.put(self._make_batch(), timeout=1.0)
+            except queue.Full:
+                continue
+
+    def __iter__(self) -> Iterator[dict]:
+        return self
+
+    def __next__(self) -> dict:
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+
+
+def eval_batches(
+    root: str,
+    img_size: int = 256,
+    batch_size: int = 32,
+    imagenet_normalize: bool = False,
+    shuffle: bool = False,
+    seed: int = 0,
+) -> Iterator[np.ndarray]:
+    """Finite eval iterator (reference get_eval_loader semantics:
+    optional resize-to-299 + ImageNet normalization for Inception)."""
+    files = sorted(list_images(root))
+    order = np.arange(len(files))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    for lo in range(0, len(files), batch_size):
+        imgs = []
+        for i in order[lo : lo + batch_size]:
+            img = _resize(_load_rgb(files[i]), (img_size, img_size))
+            if imagenet_normalize:
+                img = _resize(img, (299, 299))
+                x = img.astype(np.float32) / 255.0
+                x = (x - IMAGENET_MEAN) / IMAGENET_STD
+            else:
+                x = img.astype(np.float32) / 255.0
+            imgs.append(x)
+        yield np.stack(imgs)

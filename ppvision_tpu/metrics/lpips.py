@@ -1,0 +1,98 @@
+"""LPIPS perceptual distance (AlexNet features + learned 1x1 weights).
+
+Same formulation as the reference (``Face-DeId/metrics/lpips.py``):
+inputs normalized with the [-1,1]-range ImageNet stats, AlexNet conv
+features after each ReLU, channel-L2-normalized, squared difference
+weighted by learned non-negative 1x1 convs, spatial+channel mean,
+summed over the five layers.  Pretrained AlexNet / calibration weights
+load via ``utils.torch_import`` from the reference's
+``lpips_weights.ckpt`` and a torchvision alexnet state_dict.
+
+Also provides ``calculate_lpips_given_images`` — mean pairwise LPIPS
+over groups of generated outputs (lpips.py:75-88).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+__all__ = ["AlexNetFeatures", "LPIPS", "calculate_lpips_given_images"]
+
+_MU = np.array([-0.03, -0.088, -0.188], np.float32)
+_SIGMA = np.array([0.458, 0.448, 0.450], np.float32)
+ALEX_CHANNELS = (64, 192, 384, 256, 256)
+
+
+class AlexNetFeatures(nn.Module):
+    """torchvision AlexNet ``features`` stack; returns the 5 post-ReLU maps."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        conv = lambda c, k, s, p: nn.Conv(  # noqa: E731
+            c, (k, k), strides=(s, s), padding=[(p, p), (p, p)], dtype=self.dtype
+        )
+        fmaps = []
+        x = nn.relu(conv(64, 11, 4, 2)(x))
+        fmaps.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.relu(conv(192, 5, 1, 2)(x))
+        fmaps.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.relu(conv(384, 3, 1, 1)(x))
+        fmaps.append(x)
+        x = nn.relu(conv(256, 3, 1, 1)(x))
+        fmaps.append(x)
+        x = nn.relu(conv(256, 3, 1, 1)(x))
+        fmaps.append(x)
+        return fmaps
+
+
+class LPIPS(nn.Module):
+    """Perceptual distance of two NHWC batches (scalar mean)."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, y):
+        mu = jnp.asarray(_MU)
+        sigma = jnp.asarray(_SIGMA)
+        x = (x - mu) / sigma
+        y = (y - mu) / sigma
+        net = AlexNetFeatures(dtype=self.dtype, name="alexnet")
+        fx = net(x)
+        fy = net(y)
+
+        def normalize(f):
+            return f * jax.lax.rsqrt(
+                jnp.sum(f**2, axis=-1, keepdims=True) + 1e-10
+            )
+
+        total = 0.0
+        for i, (a, b) in enumerate(zip(fx, fy)):
+            w = self.param(
+                f"lin_{i}", nn.initializers.ones, (ALEX_CHANNELS[i], 1)
+            )
+            d = (normalize(a) - normalize(b)) ** 2
+            total = total + jnp.mean(d @ w)
+        return total
+
+
+def calculate_lpips_given_images(
+    lpips: LPIPS, params: Any, group_of_images: list
+) -> float:
+    """Mean pairwise LPIPS across a group of outputs for the same input
+    (reference lpips.py:75-88)."""
+    vals = []
+    n = len(group_of_images)
+    fn = jax.jit(lambda a, b: lpips.apply({"params": params}, a, b))
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            vals.append(float(fn(group_of_images[i], group_of_images[j])))
+    return float(np.mean(vals)) if vals else 0.0

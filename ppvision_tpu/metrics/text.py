@@ -1,0 +1,233 @@
+"""Caption text metrics: BLEU-1..4, METEOR, ROUGE-Lsum, CIDEr (host-side).
+
+Mirrors the reference eval pipeline (``Image_Caption/eval/
+eval_total.py:209-283``): nltk corpus BLEU with the same weight sets,
+nltk METEOR averaged over images, google-rouge-style ROUGE-Lsum
+(Porter-stemmed, newline-split, chunked by 100 images), and the
+CIDEr consensus scorer (n-gram TF-IDF with clipped similarity and a
+Gaussian length penalty, the behavior of the vendored
+``cider_metric/cider_scorer.py``).
+
+All functions take ``references`` as a list (per image) of lists of
+token lists, and ``hypotheses`` as a list of token lists.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+
+__all__ = ["bleu_scores", "meteor_avg", "rouge_lsum", "cider_score"]
+
+Tokens = list[str]
+
+
+def bleu_scores(references: list[list[Tokens]], hypotheses: list[Tokens]) -> dict:
+    """Corpus BLEU-1..4 via nltk (as the reference, eval_total.py:209-216)."""
+    from nltk.translate.bleu_score import corpus_bleu
+
+    return {
+        "bleu1": corpus_bleu(references, hypotheses, weights=(1.0,)),
+        "bleu2": corpus_bleu(references, hypotheses, weights=(0.5, 0.5)),
+        "bleu3": corpus_bleu(references, hypotheses, weights=(1 / 3, 1 / 3, 1 / 3)),
+        "bleu4": corpus_bleu(references, hypotheses),
+    }
+
+
+class _EmptyWordnet:
+    """WordNet stand-in whose synset lookups are empty: METEOR then runs
+    its exact- and stem-match stages only (needed where the wordnet
+    corpus is unavailable, e.g. zero-egress environments)."""
+
+    def synsets(self, word):
+        return []
+
+
+def meteor_avg(references: list[list[Tokens]], hypotheses: list[Tokens]) -> float:
+    """Mean nltk METEOR over images (reference utils.py:502-508).
+
+    Falls back to exact+stem matching (no synonym stage) when the
+    wordnet corpus is not installed.
+    """
+    from nltk.translate.meteor_score import meteor_score
+
+    def score(refs, hyp):
+        try:
+            return meteor_score(refs, hyp)
+        except LookupError:
+            return meteor_score(refs, hyp, wordnet=_EmptyWordnet())
+
+    scores = [score(refs, hyp) for refs, hyp in zip(references, hypotheses)]
+    return float(np.mean(scores)) if scores else 0.0
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-Lsum
+# ---------------------------------------------------------------------------
+
+
+def _lcs_len(a: list[str], b: list[str]) -> int:
+    """Longest-common-subsequence length (O(len(a)*len(b)))."""
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+def _union_lcs(ref_sent: list[str], hyp_sents: list[list[str]]) -> set:
+    """Union of LCS hit positions of one ref sentence against all
+    hypothesis sentences (the 'summary-level' LCS of ROUGE-Lsum)."""
+    hits = set()
+    for hyp in hyp_sents:
+        # Recover one LCS alignment's ref positions greedily.
+        i = j = 0
+        # dynamic program table to trace back
+        m, n = len(ref_sent), len(hyp)
+        dp = np.zeros((m + 1, n + 1), dtype=np.int32)
+        for ii in range(1, m + 1):
+            for jj in range(1, n + 1):
+                if ref_sent[ii - 1] == hyp[jj - 1]:
+                    dp[ii, jj] = dp[ii - 1, jj - 1] + 1
+                else:
+                    dp[ii, jj] = max(dp[ii - 1, jj], dp[ii, jj - 1])
+        ii, jj = m, n
+        while ii > 0 and jj > 0:
+            if ref_sent[ii - 1] == hyp[jj - 1] and dp[ii, jj] == dp[ii - 1, jj - 1] + 1:
+                hits.add(ii - 1)
+                ii -= 1
+                jj -= 1
+            elif dp[ii - 1, jj] >= dp[ii, jj - 1]:
+                ii -= 1
+            else:
+                jj -= 1
+    return hits
+
+
+def _stem(tokens: list[str]) -> list[str]:
+    from nltk.stem.porter import PorterStemmer
+
+    st = PorterStemmer()
+    return [st.stem(t) if len(t) > 3 else t for t in tokens]
+
+
+def _rouge_lsum_pair(ref_text: str, hyp_text: str) -> float:
+    """ROUGE-Lsum F1 of newline-separated summaries (google rouge_score
+    semantics: per-sentence union-LCS, Porter stemmer on words >3 chars)."""
+    def split(text):
+        return [
+            _stem([w for w in s.replace(".", " ").split() if w])
+            for s in text.split("\n")
+            if s.strip()
+        ]
+
+    ref_sents = split(ref_text)
+    hyp_sents = split(hyp_text)
+    m = sum(len(s) for s in ref_sents)
+    n = sum(len(s) for s in hyp_sents)
+    if m == 0 or n == 0:
+        return 0.0
+    lcs = sum(len(_union_lcs(rs, hyp_sents)) for rs in ref_sents)
+    p = lcs / n
+    r = lcs / m
+    if p + r == 0:
+        return 0.0
+    return 2 * p * r / (p + r)
+
+
+def rouge_lsum(
+    references: list[list[Tokens]], hypotheses: list[Tokens], chunk: int = 100
+) -> float:
+    """Chunked ROUGE-Lsum as the reference computes it
+    (eval_total.py:227-244): captions concatenated per 100-image block,
+    one score per block, averaged."""
+    bounds = list(range(0, len(hypotheses) + 1, chunk))
+    if len(bounds) < 2:
+        bounds = [0, len(hypotheses)]
+    total, blocks = 0.0, 0
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi <= lo:
+            continue
+        hyp = "\n".join(" ".join(hypotheses[i]) for i in range(lo, hi))
+        ref = "\n".join(
+            " ".join(r) for i in range(lo, hi) for r in references[i]
+        )
+        total += _rouge_lsum_pair(ref, hyp)
+        blocks += 1
+    return total / max(blocks, 1)
+
+
+# ---------------------------------------------------------------------------
+# CIDEr
+# ---------------------------------------------------------------------------
+
+
+def _ngram_counts(tokens: Tokens, n_max: int = 4) -> Counter:
+    counts: Counter = Counter()
+    for n in range(1, n_max + 1):
+        for i in range(len(tokens) - n + 1):
+            counts[tuple(tokens[i : i + n])] += 1
+    return counts
+
+
+def cider_score(
+    references: list[list[Tokens]],
+    hypotheses: list[Tokens],
+    n_max: int = 4,
+    sigma: float = 6.0,
+) -> tuple[float, np.ndarray]:
+    """CIDEr consensus score (mean, per-image array).
+
+    TF-IDF n-gram vectors with corpus document frequency over the
+    reference sets, clipped cosine similarity per n, Gaussian length
+    penalty, averaged over n and references, x10 — the behavior of the
+    reference's vendored scorer (cider_metric/cider_scorer.py).
+    """
+    assert len(references) == len(hypotheses)
+    num_images = len(references)
+    if num_images == 0:
+        return 0.0, np.zeros(0)
+
+    ref_counts = [[_ngram_counts(r, n_max) for r in refs] for refs in references]
+    hyp_counts = [_ngram_counts(h, n_max) for h in hypotheses]
+
+    doc_freq: dict = defaultdict(float)
+    for refs in ref_counts:
+        for ngram in {g for ref in refs for g in ref}:
+            doc_freq[ngram] += 1
+    log_n = math.log(float(num_images))
+
+    def tfidf(counts: Counter):
+        vec = [defaultdict(float) for _ in range(n_max)]
+        norm = [0.0] * n_max
+        length = 0
+        for ngram, tf in counts.items():
+            idf = log_n - math.log(max(1.0, doc_freq[ngram]))
+            k = len(ngram) - 1
+            vec[k][ngram] = tf * idf
+            norm[k] += vec[k][ngram] ** 2
+            if k == 1:
+                length += tf
+        return vec, [math.sqrt(x) for x in norm], length
+
+    scores = np.zeros(num_images)
+    for i, (hyp, refs) in enumerate(zip(hyp_counts, ref_counts)):
+        hv, hn, hl = tfidf(hyp)
+        acc = np.zeros(n_max)
+        for ref in refs:
+            rv, rn, rl = tfidf(ref)
+            val = np.zeros(n_max)
+            for k in range(n_max):
+                for ngram, w in hv[k].items():
+                    val[k] += min(w, rv[k][ngram]) * rv[k][ngram]
+                if hn[k] and rn[k]:
+                    val[k] /= hn[k] * rn[k]
+            acc += val * math.exp(-((hl - rl) ** 2) / (2 * sigma**2))
+        scores[i] = acc.mean() / len(refs) * 10.0
+    return float(scores.mean()), scores

@@ -1,0 +1,124 @@
+"""Data pipeline tests with synthetic datasets."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ppvision_tpu.data.caption import CaptionDataset, base_name, caption_batches, create_input_files
+from ppvision_tpu.data.face import (
+    FaceBatcher,
+    ImageFolderDataset,
+    ReferenceDataset,
+    eval_batches,
+)
+
+
+def _write_img(path, color, size=(40, 48)):
+    from PIL import Image
+
+    arr = np.full((size[0], size[1], 3), color, np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture(scope="module")
+def face_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("faces")
+    for split in ("src", "ref"):
+        for dom, color in (("female", 60), ("male", 180)):
+            d = root / split / dom
+            d.mkdir(parents=True)
+            n = 6 if dom == "female" else 3  # imbalanced on purpose
+            for i in range(n):
+                _write_img(str(d / f"{i}.png"), color + i)
+    return root
+
+
+def test_image_folder_and_reference(face_root):
+    ds = ImageFolderDataset(str(face_root / "src"))
+    assert len(ds) == 9
+    assert ds.classes == ["female", "male"]
+    assert sum(ds.targets) == 3  # three male images
+
+    ref = ReferenceDataset(str(face_root / "ref"), seed=0)
+    assert len(ref.samples2) == len(ref.samples)
+    # samples2 are a within-domain permutation.
+    for s2, t in zip(ref.samples2, ref.targets):
+        assert f"/{ref.classes[t]}/" in s2
+
+
+def test_face_batcher_payload(face_root):
+    fb = FaceBatcher(
+        str(face_root / "src"), str(face_root / "ref"),
+        img_size=32, batch_size=4, latent_dim=8, seed=1,
+    )
+    batch = next(fb)
+    fb.close()
+    assert batch["x_src"].shape == (4, 32, 32, 3)
+    assert batch["x_ref2"].shape == (4, 32, 32, 3)
+    assert batch["z_trg"].shape == (4, 8)
+    assert batch["x_src"].dtype == np.float32
+    assert 0.0 <= batch["x_src"].min() and batch["x_src"].max() <= 1.0
+    assert set(np.unique(batch["y_src"])) <= {0, 1}
+    # Fresh gaussians each batch.
+    assert np.abs(batch["z_trg"] - batch["z_trg2"]).max() > 0
+
+
+def test_eval_batches(face_root):
+    batches = list(eval_batches(str(face_root / "src"), img_size=32, batch_size=4))
+    assert sum(b.shape[0] for b in batches) == 9
+    norm = next(
+        eval_batches(str(face_root / "src"), img_size=32, batch_size=2, imagenet_normalize=True)
+    )
+    assert norm.shape[1:] == (299, 299, 3)
+    assert norm.min() < 0  # normalized
+
+
+@pytest.fixture(scope="module")
+def caption_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    imgdir = root / "imgs"
+    imgdir.mkdir()
+    images = []
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        fname = f"im{i}.jpg"
+        _write_img(str(imgdir / fname), int(rng.integers(0, 200)))
+        split = ["train", "train", "train", "val", "test", "restval"][i]
+        sents = [
+            {"tokens": ["a", "dog", "runs"] + (["fast"] if i % 2 else [])},
+            {"tokens": ["the", "dog", "is", "running"]},
+        ]
+        images.append({"filename": fname, "split": split, "sentences": sents})
+    kj = root / "karpathy.json"
+    kj.write_text(json.dumps({"images": images}))
+    out = root / "out"
+    create_input_files(
+        "flickr8k", str(kj), str(imgdir), captions_per_image=3,
+        min_word_freq=0, output_folder=str(out), max_len=10, image_size=32,
+    )
+    return out
+
+
+def test_create_input_files_and_dataset(caption_data):
+    base = base_name("flickr8k", 3, 0)
+    with open(caption_data / f"WORDMAP_{base}.json") as f:
+        wm = json.load(f)
+    assert wm["<pad>"] == 0
+    assert {"<unk>", "<start>", "<end>"} <= set(wm)
+
+    ds = CaptionDataset(str(caption_data), base, "TRAIN")
+    assert len(ds) == 4 * 3  # 4 train(+restval) images x 3 caps
+    img, cap, cl = ds[0]
+    assert img.shape == (32, 32, 3) and img.max() <= 1.0
+    assert cap[0] == wm["<start>"]
+    assert cap[cl - 1] == wm["<end>"]
+
+    val = CaptionDataset(str(caption_data), base, "VAL")
+    _, _, _, allcaps = val[0]
+    assert allcaps.shape[0] == 3
+
+    batches = list(caption_batches(ds, batch_size=4, shuffle=True, seed=0))
+    assert all(b["images"].shape[0] == 4 for b in batches)
+    assert batches[0]["captions"].shape[1] == 12  # max_len 10 + start/end
