@@ -1,0 +1,204 @@
+"""Captioning CLI: preprocess / train / eval / heat (reference
+``Image_Caption/{create_input_files,train,eval/*,Camera/Camera_heating}.py``).
+
+Usage:
+    python -m ppvision_tpu.cli.caption preprocess --karpathy_json ... --image_folder ...
+    python -m ppvision_tpu.cli.caption train --data_folder ... --data_name coco_5_cap_per_img_5_min_word_freq
+    python -m ppvision_tpu.cli.caption eval  --data_folder ... --split TEST
+    python -m ppvision_tpu.cli.caption heat  --steps 5000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--data_folder", default="data/caption")
+    p.add_argument("--data_name", default="coco_5_cap_per_img_5_min_word_freq")
+    p.add_argument("--out_dir", default="expr/caption")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="TPU-native privacy captioning")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("preprocess")
+    pp.add_argument("--dataset", default="coco")
+    pp.add_argument("--karpathy_json", required=True)
+    pp.add_argument("--image_folder", required=True)
+    pp.add_argument("--captions_per_image", type=int, default=5)
+    pp.add_argument("--min_word_freq", type=int, default=5)
+    pp.add_argument("--output_folder", default="data/caption")
+    pp.add_argument("--max_len", type=int, default=50)
+
+    tr = sub.add_parser("train")
+    _add_common(tr)
+    tr.add_argument("--epochs", type=int, default=20)
+    tr.add_argument("--batch_size", type=int, default=64)
+    tr.add_argument("--camera_train", type=lambda s: s.lower() in ("1", "true"), default=True)
+    tr.add_argument("--warmup_ckpt", default=None, help="camera warm-start (Model.pth equivalent)")
+
+    ev = sub.add_parser("eval")
+    _add_common(ev)
+    ev.add_argument("--split", default="TEST", choices=["VAL", "TEST"])
+    ev.add_argument("--beam_size", type=int, default=5)
+    ev.add_argument("--camera_mode", default="lens", choices=["lens", "none", "lowres"])
+    ev.add_argument("--max_images", type=int, default=None)
+
+    ht = sub.add_parser("heat")
+    ht.add_argument("--steps", type=int, default=5000)
+    ht.add_argument("--img_dir", required=True)
+    ht.add_argument("--out", default="expr/camera_warmup")
+    return p
+
+
+def _setup(cfg, vocab_size):
+    from ..optics.lens import LensSpec, init_lens_params, make_lens_constants
+    from ..train.caption import init_caption
+
+    spec = LensSpec()
+    consts = make_lens_constants(spec)
+    lens_params = init_lens_params(spec)
+    encoder, decoder, state = init_caption(
+        jax.random.key(0), cfg, vocab_size, spec, lens_params, dtype=jnp.bfloat16
+    )
+    return spec, consts, encoder, decoder, state
+
+
+def run_train(args):
+    from ..config import CaptionConfig
+    from ..data.caption import CaptionDataset, caption_batches
+    from ..metrics.eval_caption import evaluate_captions
+    from ..train.caption import make_caption_train_step
+    from ..utils.checkpoint import StepCheckpoints
+    from ..utils.logging import MetricWriter
+
+    cfg = CaptionConfig(batch_size=args.batch_size, epochs=args.epochs)
+    with open(os.path.join(args.data_folder, f"WORDMAP_{args.data_name}.json")) as f:
+        word_map = json.load(f)
+    train_ds = CaptionDataset(args.data_folder, args.data_name, "TRAIN")
+    val_ds = CaptionDataset(args.data_folder, args.data_name, "VAL")
+    spec, consts, encoder, decoder, state = _setup(cfg, len(word_map) + 1)
+    if args.warmup_ckpt:
+        from ..utils.torch_import import lens_params_from_torch, load_torch_state_dict
+
+        state = state.replace(
+            camera=lens_params_from_torch(load_torch_state_dict(args.warmup_ckpt))
+        )
+    step_fn = make_caption_train_step(
+        encoder, decoder, cfg, spec, consts, camera_train=args.camera_train
+    )
+    writer = MetricWriter(args.out_dir, log_interval=50)
+    ckpts = StepCheckpoints(args.out_dir)
+    best_bleu4, step = 0.0, 0
+    rng = jax.random.key(1)
+    for epoch in range(cfg.epochs):
+        for batch in caption_batches(train_ds, cfg.batch_size, shuffle=True, seed=epoch):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(
+                state, {k: jnp.asarray(v) for k, v in batch.items()}, sub
+            )
+            step += 1
+            writer.write(step, metrics)
+        res = evaluate_captions(
+            cfg, encoder, decoder, state.encoder, state.decoder,
+            (state.camera, consts, spec), val_ds, word_map, max_images=200,
+        )
+        writer.write(step, {f"val_{k}": v for k, v in res.items()}, force=True)
+        # BLEU-4 save gate (reference train.py:230-238).
+        if res["bleu4"] >= cfg.bleu4_gate and res["bleu4"] > best_bleu4:
+            best_bleu4 = res["bleu4"]
+            ckpts.save(epoch + 1, "caption_state", state)
+
+
+def run_eval(args):
+    from ..config import CaptionConfig
+    from ..data.caption import CaptionDataset
+    from ..metrics.eval_caption import evaluate_captions
+    from ..utils.checkpoint import StepCheckpoints
+
+    cfg = CaptionConfig(beam_size=args.beam_size)
+    with open(os.path.join(args.data_folder, f"WORDMAP_{args.data_name}.json")) as f:
+        word_map = json.load(f)
+    ds = CaptionDataset(args.data_folder, args.data_name, args.split)
+    spec, consts, encoder, decoder, state = _setup(cfg, len(word_map) + 1)
+    ckpts = StepCheckpoints(args.out_dir)
+    latest = ckpts.latest_step("caption_state")
+    if latest is not None:
+        state = ckpts.load(latest, "caption_state", state)
+    res = evaluate_captions(
+        cfg, encoder, decoder, state.encoder, state.decoder,
+        (state.camera, consts, spec), ds, word_map,
+        beam_size=args.beam_size, camera_mode=args.camera_mode,
+        max_images=args.max_images, out_dir=args.out_dir,
+    )
+    for k, v in res.items():
+        print(f"{k}: {v:.4f}")
+
+
+def run_heat(args):
+    """Camera warm-up: train the defocus alone to MINIMIZE SSIM(orig,
+    sensor) (reference Camera_heating.py:13-64)."""
+    import optax
+
+    from ..data.face import eval_batches
+    from ..metrics.psnr_ssim import ssim
+    from ..optics.lens import LensSpec, init_lens_params, lens_apply, make_lens_constants
+    from ..utils.checkpoint import save_pytree
+
+    spec = LensSpec()
+    consts = make_lens_constants(spec)
+    params = init_lens_params(spec)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, imgs):
+        def loss_fn(p):
+            res = lens_apply(p, consts, spec, imgs, mask_mode="3")
+            return ssim(imgs, res.sensor) + res.psf_loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    it = 0
+    while it < args.steps:
+        for imgs in eval_batches(args.img_dir, spec.patch_size, 8):
+            params, opt_state, loss = step(params, opt_state, jnp.asarray(imgs))
+            it += 1
+            if it % 100 == 0:
+                print(f"heat step {it}: ssim+psf {float(loss):.4f} defocus {float(params.defocus):.3f}")
+            if it >= args.steps:
+                break
+    save_pytree(args.out, params)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    np.random.seed(0)
+    if args.cmd == "preprocess":
+        from ..data.caption import create_input_files
+
+        create_input_files(
+            args.dataset, args.karpathy_json, args.image_folder,
+            args.captions_per_image, args.min_word_freq, args.output_folder,
+            args.max_len,
+        )
+    elif args.cmd == "train":
+        run_train(args)
+    elif args.cmd == "eval":
+        run_eval(args)
+    else:
+        run_heat(args)
+
+
+if __name__ == "__main__":
+    main()

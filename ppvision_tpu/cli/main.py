@@ -1,0 +1,160 @@
+"""Face-DeId CLI: train / sample / eval (reference ``main.py`` modes).
+
+Usage:
+    python -m ppvision_tpu.cli.main --mode train --train_img_dir ... --ref_dir ...
+    python -m ppvision_tpu.cli.main --mode sample --src_dir ... --ref_dir ...
+    python -m ppvision_tpu.cli.main --mode eval --val_img_dir ...
+
+Flags mirror the reference argparse surface (main.py:86-198); values
+default to the reference recipe via the typed config tree.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from ..config import FaceDeIdConfig
+
+    cfg = FaceDeIdConfig()
+    p = argparse.ArgumentParser(description="TPU-native Face-DeId")
+    p.add_argument("--mode", required=True, choices=["train", "sample", "eval"])
+    for section in ("model", "loss", "train", "camera", "paths"):
+        sub = getattr(cfg, section)
+        for f in dataclasses.fields(sub):
+            flag = f"--{f.name}"
+            default = getattr(sub, f.name)
+            if isinstance(default, bool):
+                p.add_argument(flag, type=lambda s: s.lower() in ("1", "true"), default=default)
+            elif isinstance(default, (int, float, str)):
+                p.add_argument(flag, type=type(default), default=default)
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--num_sample_batches", type=int, default=1)
+    return p
+
+
+def config_from_args(args) -> "FaceDeIdConfig":
+    from ..config import (
+        CameraConfig,
+        FaceDeIdConfig,
+        LossConfig,
+        ModelConfig,
+        ParallelConfig,
+        PathsConfig,
+        TrainConfig,
+    )
+
+    def fill(cls):
+        return cls(**{
+            f.name: getattr(args, f.name)
+            for f in dataclasses.fields(cls)
+            if hasattr(args, f.name)
+        })
+
+    return FaceDeIdConfig(
+        model=fill(ModelConfig),
+        loss=fill(LossConfig),
+        train=fill(TrainConfig),
+        camera=fill(CameraConfig),
+        paths=fill(PathsConfig),
+        parallel=ParallelConfig(),
+    )
+
+
+def run_train(cfg, use_wandb: bool = False) -> None:
+    from ..data.face import FaceBatcher
+    from ..optics.camera import CameraSpec, init_camera_params, make_camera_constants
+    from ..train.gan import FrozenNets, init_gan, make_train_step
+    from ..utils.checkpoint import StepCheckpoints
+    from ..utils.logging import MetricWriter
+
+    key = jax.random.key(cfg.train.seed)
+    models, fan, state = init_gan(key, cfg)
+    spec = CameraSpec(n=cfg.model.img_size, zernike_terms=cfg.camera.zernike_terms)
+    fan_params = fan.init(jax.random.key(1), jnp.zeros((1, 256, 256, 3)))["params"]
+    frozen = FrozenNets(
+        camera_params=init_camera_params(jax.random.key(2), spec),
+        camera_consts=make_camera_constants(spec),
+        fan_params=fan_params,
+        fan_priv_params=fan_params,
+    )
+    ckpts = StepCheckpoints(cfg.paths.checkpoint_save_dir)
+    writer = MetricWriter(
+        cfg.paths.checkpoint_save_dir, use_wandb, cfg.train.print_every
+    )
+    batcher = FaceBatcher(
+        cfg.paths.train_img_dir,
+        cfg.paths.ref_dir,
+        img_size=cfg.model.img_size,
+        batch_size=cfg.train.batch_size,
+        latent_dim=cfg.model.latent_dim,
+        crop_prob=cfg.train.randcrop_prob,
+        seed=cfg.train.seed,
+    )
+    step_fn = make_train_step(models, fan, cfg)
+    print("Start training...")
+    for i in range(cfg.train.resume_iter, cfg.train.total_iters):
+        batch = {k: jnp.asarray(v) for k, v in next(batcher).items()}
+        state, metrics = step_fn(state, frozen, batch)
+        writer.write(i + 1, metrics)
+        if (i + 1) % cfg.train.save_every == 0:
+            ckpts.save(i + 1, "nets", state.params)
+            ckpts.save(i + 1, "nets_ema", state.ema_params)
+            ckpts.save(i + 1, "optims", state.opt_states)
+            ckpts.save(i + 1, "camera", frozen.camera_params)
+    batcher.close()
+
+
+def run_sample(cfg, num_batches: int = 1) -> None:
+    from ..data.face import eval_batches
+    from ..deid import build_deid
+    from ..sample import translate_using_reference
+
+    bundle = build_deid(jax.random.key(cfg.train.seed), cfg)
+    srcs = eval_batches(cfg.paths.src_dir, cfg.model.img_size, cfg.train.val_batch_size)
+    refs = eval_batches(cfg.paths.ref_dir, cfg.model.img_size, cfg.train.val_batch_size)
+    for i, (src, ref) in enumerate(zip(srcs, refs)):
+        if i >= num_batches:
+            break
+        y_ref = jnp.zeros((ref.shape[0],), jnp.int32)
+        print(f"Working on batch {i}...")
+        translate_using_reference(
+            bundle, bundle.params, jnp.asarray(src), jnp.asarray(ref), y_ref,
+            out_dir=cfg.paths.result_dir, tag=i,
+        )
+
+
+def run_eval(cfg) -> None:
+    from ..deid import build_deid
+    from ..metrics.eval_gan import calculate_metrics
+
+    bundle = build_deid(jax.random.key(cfg.train.seed), cfg)
+    for mode in ("latent", "reference"):
+        res = calculate_metrics(
+            bundle, bundle.params, cfg.paths.val_img_dir, mode=mode,
+            num_outs=cfg.train.num_outs_per_domain, out_dir=cfg.paths.eval_dir,
+        )
+        for k, v in res.items():
+            print(f"{k}: {v:.4f}")
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    np.random.seed(cfg.train.seed)
+    if args.mode == "train":
+        run_train(cfg, args.use_wandb)
+    elif args.mode == "sample":
+        run_sample(cfg, args.num_sample_batches)
+    else:
+        run_eval(cfg)
+
+
+if __name__ == "__main__":
+    main()

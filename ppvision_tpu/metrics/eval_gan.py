@@ -1,0 +1,159 @@
+"""Face-DeId evaluation orchestration (FID + LPIPS over domain pairs).
+
+Equivalent of the reference's ``calculate_metrics`` /
+``calculate_fid_for_all_tasks`` (``Face-DeId/metrics/eval.py:16-148``):
+for every (source -> target) domain pair, form privacy images with the
+camera, regress heatmaps, generate ``num_outs`` anonymized outputs per
+source (latent- or reference-style), record mean pairwise LPIPS per
+source group, optionally dump PNGs, then FID between real target-domain
+images and the generated set.  Reports are returned as dicts and
+written as JSON (eval.py:116-120, 147-148).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.face import eval_batches, list_images
+from ..deid import DeIdBundle, DeIdParams, deid_from_latent, deid_from_reference
+from .fid import InceptionV3, collect_activations, fid_from_activations
+from .lpips import LPIPS
+
+__all__ = ["calculate_metrics"]
+
+
+def _domains(root: str) -> list[str]:
+    return sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+
+
+def calculate_metrics(
+    bundle: DeIdBundle,
+    params: DeIdParams,
+    val_root: str,
+    mode: str = "latent",
+    num_outs: int = 10,
+    batch_size: int = 8,
+    lpips_params: Any | None = None,
+    inception_params: Any | None = None,
+    out_dir: str | None = None,
+    step: int = 0,
+    seed: int = 0,
+    max_images: int | None = None,
+) -> dict[str, float]:
+    """LPIPS_{mode} per src->trg task + FID per target domain.
+
+    ``lpips_params`` / ``inception_params`` come from converted
+    reference checkpoints (utils.torch_import); fresh random nets are
+    used if omitted (relative comparisons only).
+    """
+    assert mode in ("latent", "reference")
+    cfg = bundle.cfg
+    img_size = cfg.model.img_size
+    domains = _domains(val_root)
+    lpips = LPIPS()
+    if lpips_params is None:
+        x0 = jnp.zeros((1, img_size, img_size, 3))
+        lpips_params = lpips.init(jax.random.key(0), x0, x0)["params"]
+    lpips_fn = jax.jit(lambda a, b: lpips.apply({"params": lpips_params}, a, b))
+
+    gen_ref = jax.jit(
+        lambda p, xs, xr, yr: deid_from_reference(bundle, p, xs, xr, yr)
+    )
+    gen_lat = jax.jit(lambda p, xs, z, y: deid_from_latent(bundle, p, xs, z, y))
+
+    rng = np.random.default_rng(seed)
+    results: dict[str, float] = {}
+    fake_sets: dict[str, list[np.ndarray]] = {d: [] for d in domains}
+
+    for trg_idx, trg in enumerate(domains):
+        for src in domains:
+            if src == trg:
+                continue
+            task = f"{src}2{trg}"
+            lpips_vals = []
+            src_root = os.path.join(val_root, src)
+            trg_files = list_images(os.path.join(val_root, trg))
+            n_seen = 0
+            for batch in eval_batches(src_root, img_size, batch_size):
+                if max_images is not None and n_seen >= max_images:
+                    break
+                n_seen += batch.shape[0]
+                x_src = jnp.asarray(batch)
+                outs = []
+                for _ in range(num_outs):
+                    y = jnp.full((batch.shape[0],), trg_idx, jnp.int32)
+                    if mode == "latent":
+                        z = jnp.asarray(
+                            rng.standard_normal(
+                                (batch.shape[0], cfg.model.latent_dim)
+                            ).astype(np.float32)
+                        )
+                        fake = gen_lat(params, x_src, z, y)
+                    else:
+                        ref_paths = rng.choice(trg_files, batch.shape[0])
+                        from ..data.face import _load_rgb, _resize
+
+                        xr = np.stack(
+                            [
+                                _resize(_load_rgb(p), (img_size, img_size)).astype(
+                                    np.float32
+                                )
+                                / 255.0
+                                for p in ref_paths
+                            ]
+                        )
+                        fake = gen_ref(params, x_src, jnp.asarray(xr), y)
+                    outs.append(fake)
+                # Mean pairwise LPIPS among the generated outputs.
+                for i in range(num_outs - 1):
+                    for j in range(i + 1, num_outs):
+                        lpips_vals.append(float(lpips_fn(outs[i], outs[j])))
+                fake_sets[trg].extend(np.asarray(o) for o in outs)
+                if out_dir:
+                    os.makedirs(os.path.join(out_dir, task), exist_ok=True)
+                    from PIL import Image
+
+                    arr = np.clip(np.asarray(outs[0]) * 255, 0, 255).astype(np.uint8)
+                    for k, im in enumerate(arr):
+                        Image.fromarray(im).save(
+                            os.path.join(out_dir, task, f"{n_seen}_{k}.png")
+                        )
+            results[f"LPIPS_{mode}/{task}"] = float(np.mean(lpips_vals)) if lpips_vals else 0.0
+
+    # FID real-vs-fake per target domain.
+    inception = InceptionV3()
+    if inception_params is None:
+        inception_params = inception.init(
+            jax.random.key(1), jnp.zeros((1, 299, 299, 3))
+        )
+    for trg in domains:
+        fakes = fake_sets[trg]
+        if not fakes:
+            continue
+        fake_299 = [
+            np.asarray(
+                jax.image.resize(jnp.asarray(f), (f.shape[0], 299, 299, 3), "bilinear")
+            )
+            for f in fakes
+        ]
+        from ..data.face import IMAGENET_MEAN, IMAGENET_STD
+
+        fake_299 = [(f - IMAGENET_MEAN) / IMAGENET_STD for f in fake_299]
+        real = eval_batches(
+            os.path.join(val_root, trg), img_size, batch_size, imagenet_normalize=True
+        )
+        acts_real = collect_activations(inception, inception_params, real)
+        acts_fake = collect_activations(inception, inception_params, fake_299)
+        results[f"FID_{mode}/{trg}"] = fid_from_activations(acts_real, acts_fake)
+
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, f"metrics_{mode}_{step}.json"), "w") as f:
+            json.dump(results, f, indent=2)
+    return results

@@ -1,0 +1,108 @@
+"""Checkpoint / resume (orbax-backed).
+
+Equivalent of the reference's checkpoint layer:
+
+- ``CheckpointIO`` (``Face-DeId/core/checkpoint.py``): step-templated
+  groups ('nets', 'nets_ema', 'optims'), DataParallel-unwrap-free here,
+  non-strict loading that skips missing/extra entries (the reference
+  skips ``*priv*`` nets and loads non-strict, checkpoint.py:27-41).
+- The captioning ``save_checkpoint`` (``Image_Caption/utils.py:369-409``):
+  epoch state with a BEST_ copy gated on BLEU-4.
+
+Orbax gives atomic directory checkpoints; trees are saved as-is
+(params / EMA / optimizer states / camera).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any
+
+import jax
+
+__all__ = ["save_pytree", "restore_pytree", "merge_loaded", "StepCheckpoints"]
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    """Atomically save a pytree to ``path`` (a directory)."""
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    _checkpointer().save(path, jax.device_get(tree))
+
+
+def restore_pytree(path: str, target: Any | None = None) -> Any:
+    """Restore a pytree; with ``target``, restores with its structure
+    and dtypes/shardings."""
+    path = os.path.abspath(path)
+    if target is None:
+        return _checkpointer().restore(path)
+    import orbax.checkpoint as ocp
+
+    return _checkpointer().restore(
+        path, restore_args=ocp.checkpoint_utils.construct_restore_args(target)
+    )
+
+
+def merge_loaded(target: Any, loaded: Any, skip_substrings: tuple[str, ...] = ()) -> Any:
+    """Non-strict merge: take ``loaded`` values where the key path exists
+    in both trees (and no path element contains a skip substring), else
+    keep ``target`` — the reference's non-strict + priv-skip semantics
+    (checkpoint.py:27-41)."""
+
+    def merge(t, l, path=()):  # noqa: E741
+        if isinstance(t, dict):
+            out = {}
+            for k, v in t.items():
+                if (
+                    isinstance(l, dict)
+                    and k in l
+                    and not any(s in str(k) for s in skip_substrings)
+                ):
+                    out[k] = merge(v, l[k], path + (k,))
+                else:
+                    out[k] = v
+            return out
+        return l if l is not None else t
+
+    return merge(target, loaded)
+
+
+class StepCheckpoints:
+    """Step-templated checkpoint groups under one root directory.
+
+    Layout: ``root/{step:06d}_{group}`` (mirrors the reference's
+    '{:06d}_nets.ckpt' naming).
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, step: int, group: str) -> str:
+        return os.path.join(self.root, f"{step:06d}_{group}")
+
+    def save(self, step: int, group: str, tree: Any) -> str:
+        p = self.path(step, group)
+        save_pytree(p, tree)
+        return p
+
+    def load(self, step: int, group: str, target: Any | None = None) -> Any:
+        return restore_pytree(self.path(step, group), target)
+
+    def latest_step(self, group: str = "nets") -> int | None:
+        pat = re.compile(rf"^(\d{{6}})_{re.escape(group)}$")
+        steps = [
+            int(m.group(1))
+            for d in os.listdir(self.root)
+            if (m := pat.match(d))
+        ]
+        return max(steps) if steps else None

@@ -1,0 +1,287 @@
+"""Convert reference PyTorch checkpoints into this framework's param trees.
+
+The reference ships several pretrained artifacts (wing.ckpt FAN,
+Model_wing.pth camera+fan_priv, StarGAN nets, raft-things.pth,
+lpips_weights.ckpt, torchvision backbones — see
+``Face-DeId/download.sh``).  These functions map their state_dicts onto
+our Flax parameter trees so users can migrate checkpoints 1:1, and so
+golden tests can compare randomly-initialized torch models against the
+Flax ports.
+
+Conventions: torch Conv2d (O, I, kh, kw) -> flax (kh, kw, I, O); Linear
+(O, I) -> (I, O); BatchNorm running stats become FrozenBatchNorm
+params.  All outputs are numpy float32 trees ready for ``jnp.asarray``
+/ flax apply.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+__all__ = [
+    "load_torch_state_dict",
+    "fan_params_from_torch",
+    "generator_params_from_torch",
+    "mapping_params_from_torch",
+    "style_encoder_params_from_torch",
+    "discriminator_params_from_torch",
+    "camera_params_from_torch",
+    "lens_params_from_torch",
+]
+
+Tree = dict
+
+
+def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+    """torch.load a checkpoint (CPU) and return a flat name->numpy dict."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu")
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if "state_dict" in obj and isinstance(obj["state_dict"], Mapping):
+        obj = obj["state_dict"]
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "numpy"):
+            out[k.replace("module.", "")] = v.detach().cpu().numpy()
+    return out
+
+
+def _conv(sd, name, bias=True) -> Tree:
+    p = {"kernel": np.transpose(sd[f"{name}.weight"], (2, 3, 1, 0)).astype(np.float32)}
+    if bias and f"{name}.bias" in sd:
+        p["bias"] = sd[f"{name}.bias"].astype(np.float32)
+    return p
+
+
+def _linear(sd, name) -> Tree:
+    p = {"kernel": sd[f"{name}.weight"].T.astype(np.float32)}
+    if f"{name}.bias" in sd:
+        p["bias"] = sd[f"{name}.bias"].astype(np.float32)
+    return p
+
+
+def _bn(sd, name) -> Tree:
+    return {
+        "scale": sd[f"{name}.weight"].astype(np.float32),
+        "bias": sd[f"{name}.bias"].astype(np.float32),
+        "mean": sd[f"{name}.running_mean"].astype(np.float32),
+        "var": sd[f"{name}.running_var"].astype(np.float32),
+    }
+
+
+def _inorm(sd, name) -> Tree:
+    return {
+        "scale": sd[f"{name}.weight"].astype(np.float32),
+        "bias": sd[f"{name}.bias"].astype(np.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# FAN (core/wing.py architecture; e.g. wing.ckpt, Model_wing.pth['Decoder']).
+# ---------------------------------------------------------------------------
+
+
+def _dense_conv_block(sd, name, has_down: bool) -> Tree:
+    out = {
+        "FrozenBatchNorm_0": _bn(sd, f"{name}.bn1"),
+        "Conv_0": _conv(sd, f"{name}.conv1", bias=False),
+        "FrozenBatchNorm_1": _bn(sd, f"{name}.bn2"),
+        "Conv_1": _conv(sd, f"{name}.conv2", bias=False),
+        "FrozenBatchNorm_2": _bn(sd, f"{name}.bn3"),
+        "Conv_2": _conv(sd, f"{name}.conv3", bias=False),
+    }
+    if has_down:
+        out["FrozenBatchNorm_3"] = _bn(sd, f"{name}.downsample.0")
+        out["Conv_3"] = _conv(sd, f"{name}.downsample.2", bias=False)
+    return out
+
+
+# Hourglass blocks in our creation order -> reference module names
+# (recursion: b1/b2 on the way down, b2_plus at the bottom, b3 on the
+# way up; wing.py:47-71).
+_HG_ORDER = [
+    "b1_4", "b2_4", "b1_3", "b2_3", "b1_2", "b2_2",
+    "b1_1", "b2_1", "b2_plus_1", "b3_1", "b3_2", "b3_3", "b3_4",
+]
+
+
+def fan_params_from_torch(sd: Mapping[str, np.ndarray]) -> Tree:
+    """state_dict of the reference FAN -> params for models.fan.FAN."""
+    hg = {"CoordConv_0": {"Conv_0": _conv(sd, "m0.coordconv.conv")}}
+    for i, blk in enumerate(_HG_ORDER):
+        hg[f"DenseConvBlock_{i}"] = _dense_conv_block(sd, f"m0.{blk}", has_down=False)
+    return {
+        "CoordConv_0": {"Conv_0": _conv(sd, "conv1.conv")},
+        "FrozenBatchNorm_0": _bn(sd, "bn1"),
+        "DenseConvBlock_0": _dense_conv_block(sd, "conv2", has_down=True),
+        "DenseConvBlock_1": _dense_conv_block(sd, "conv3", has_down=False),
+        "DenseConvBlock_2": _dense_conv_block(sd, "conv4", has_down=True),
+        "HourGlass_0": hg,
+        "DenseConvBlock_3": _dense_conv_block(sd, "top_m_0", has_down=False),
+        "Conv_0": _conv(sd, "conv_last0"),
+        "FrozenBatchNorm_1": _bn(sd, "bn_end0"),
+        "Conv_1": _conv(sd, "l0"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# StarGAN-v2 nets (core/model.py).
+# ---------------------------------------------------------------------------
+
+
+def _resblk(sd, name, dim_in, dim_out) -> Tree:
+    out: Tree = {}
+    idx = 0
+    if dim_in != dim_out:
+        out[f"Conv_{idx}"] = _conv(sd, f"{name}.conv1x1", bias=False)
+        idx += 1
+    norm = 0
+    if f"{name}.norm1.weight" in sd:
+        out["InstanceNorm_0"] = _inorm(sd, f"{name}.norm1")
+        out["InstanceNorm_1"] = _inorm(sd, f"{name}.norm2")
+        norm = 1
+    out[f"Conv_{idx}"] = _conv(sd, f"{name}.conv1")
+    out[f"Conv_{idx + 1}"] = _conv(sd, f"{name}.conv2")
+    return out
+
+
+def _adain_resblk(sd, name, dim_in, dim_out, w_hpf) -> Tree:
+    out: Tree = {
+        "AdaIN_0": {"Dense_0": _linear(sd, f"{name}.norm1.fc")},
+        "Conv_0": _conv(sd, f"{name}.conv1"),
+        "AdaIN_1": {"Dense_0": _linear(sd, f"{name}.norm2.fc")},
+        "Conv_1": _conv(sd, f"{name}.conv2"),
+    }
+    if w_hpf == 0 and dim_in != dim_out:
+        out["Conv_2"] = _conv(sd, f"{name}.conv1x1", bias=False)
+    return out
+
+
+def _gen_dims(img_size: int, max_conv_dim: int, repeat_num: int) -> list[int]:
+    dims = [2**14 // img_size]
+    for _ in range(repeat_num):
+        dims.append(min(dims[-1] * 2, max_conv_dim))
+    return dims
+
+
+def generator_params_from_torch(
+    sd: Mapping[str, np.ndarray],
+    img_size: int = 256,
+    max_conv_dim: int = 512,
+    w_hpf: float = 1.0,
+) -> Tree:
+    import math
+
+    repeat = int(math.log2(img_size)) - 4 + (1 if w_hpf > 0 else 0)
+    dims = _gen_dims(img_size, max_conv_dim, repeat)
+    out: Tree = {"Conv_0": _conv(sd, "from_rgb")}
+    for i in range(repeat):
+        out[f"ResBlk_{i}"] = _resblk(sd, f"encode.{i}", dims[i], dims[i + 1])
+    for j in range(2):
+        out[f"ResBlk_{repeat + j}"] = _resblk(
+            sd, f"encode.{repeat + j}", dims[-1], dims[-1]
+        )
+    # decode list order = forward order (bottlenecks then ups).
+    for j in range(2):
+        out[f"AdainResBlk_{j}"] = _adain_resblk(
+            sd, f"decode.{j}", dims[-1], dims[-1], w_hpf
+        )
+    for n, i in enumerate(reversed(range(repeat))):
+        out[f"AdainResBlk_{2 + n}"] = _adain_resblk(
+            sd, f"decode.{2 + n}", dims[i + 1], dims[i], w_hpf
+        )
+    out["InstanceNorm_0"] = _inorm(sd, "to_rgb.0")
+    out["Conv_1"] = _conv(sd, "to_rgb.2")
+    return out
+
+
+def mapping_params_from_torch(
+    sd: Mapping[str, np.ndarray], num_domains: int = 2
+) -> Tree:
+    out: Tree = {}
+    for i in range(4):
+        out[f"Dense_{i}"] = _linear(sd, f"shared.{2 * i}")
+    idx = 4
+    for d in range(num_domains):
+        for i in range(4):
+            out[f"Dense_{idx}"] = _linear(sd, f"unshared.{d}.{2 * i}")
+            idx += 1
+    return out
+
+
+def _conv_trunk(sd, prefix, img_size, max_conv_dim) -> Tree:
+    import math
+
+    repeat = int(math.log2(img_size)) - 2
+    dims = _gen_dims(img_size, max_conv_dim, repeat)
+    out: Tree = {"Conv_0": _conv(sd, f"{prefix}.0")}
+    for i in range(repeat):
+        out[f"ResBlk_{i}"] = _resblk(sd, f"{prefix}.{1 + i}", dims[i], dims[i + 1])
+    out["Conv_1"] = _conv(sd, f"{prefix}.{repeat + 2}")
+    return out
+
+
+def style_encoder_params_from_torch(
+    sd: Mapping[str, np.ndarray],
+    img_size: int = 256,
+    num_domains: int = 2,
+    max_conv_dim: int = 512,
+) -> Tree:
+    out: Tree = {"_ConvTrunk_0": _conv_trunk(sd, "shared", img_size, max_conv_dim)}
+    for d in range(num_domains):
+        out[f"Dense_{d}"] = _linear(sd, f"unshared.{d}")
+    return out
+
+
+def discriminator_params_from_torch(
+    sd: Mapping[str, np.ndarray],
+    img_size: int = 256,
+    num_domains: int = 2,
+    max_conv_dim: int = 512,
+) -> Tree:
+    import math
+
+    repeat = int(math.log2(img_size)) - 2
+    out: Tree = {"_ConvTrunk_0": _conv_trunk(sd, "main", img_size, max_conv_dim)}
+    # Final 1x1 conv over a 1x1 spatial map == Dense.
+    w = sd[f"main.{repeat + 4}.weight"]  # (D, C, 1, 1)
+    out["Dense_0"] = {
+        "kernel": np.transpose(w[:, :, 0, 0], (1, 0)).astype(np.float32),
+        "bias": sd[f"main.{repeat + 4}.bias"].astype(np.float32),
+    }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Cameras.
+# ---------------------------------------------------------------------------
+
+
+def camera_params_from_torch(sd: Mapping[str, np.ndarray]):
+    """Reference Face-DeId Camera state_dict -> optics.camera.CameraParams."""
+    from ..optics.camera import CameraParams
+
+    return CameraParams(
+        zernike_train=np.asarray(sd["Zer_train"], np.float32).reshape(-1),
+        zernike_frozen=np.asarray(sd["Zer_no_train"], np.float32).reshape(-1),
+    )
+
+
+def lens_params_from_torch(sd: Mapping[str, np.ndarray]):
+    """Reference OpticsZernike state_dict -> optics.lens.LensParams.
+    Accepts both raw and 'optics.'-prefixed keys (warm-start ckpts,
+    train.py:68-78)."""
+    from ..optics.lens import LensParams
+
+    def get(k):
+        return sd[k] if k in sd else sd[f"optics.{k}"]
+
+    return LensParams(
+        defocus=np.float32(np.asarray(get("zernike_coeffs_train")).reshape(())),
+        frozen_pre=np.asarray(get("zernike_coeffs_no_train"), np.float32).reshape(-1),
+        frozen_post=np.asarray(get("zernike_coeffs_no_train2"), np.float32).reshape(-1),
+    )

@@ -38,6 +38,51 @@ def install_numpy_compat_shim():
         np.math = math
 
 
+def install_munch_stub():
+    """Minimal munch.Munch: attribute-access dict."""
+    if "munch" in sys.modules:
+        return
+    munch = types.ModuleType("munch")
+
+    class Munch(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    munch.Munch = Munch
+    sys.modules["munch"] = munch
+
+
+def install_skimage_stub():
+    """skimage.filters.gaussian stub (only FaceAligner uses it)."""
+    if "skimage" in sys.modules:
+        return
+    skimage = types.ModuleType("skimage")
+    filters = types.ModuleType("skimage.filters")
+    filters.gaussian = lambda x, *a, **k: x
+    skimage.filters = filters
+    sys.modules["skimage"] = skimage
+    sys.modules["skimage.filters"] = filters
+
+
+def import_face_deid_models():
+    """Import reference core.model / core.wing (torch, CPU)."""
+    install_munch_stub()
+    install_skimage_stub()
+    path = f"{REFERENCE_ROOT}/Face-DeId"
+    if path not in sys.path:
+        sys.path.insert(0, path)
+    from core import model as ref_model  # noqa: PLC0415
+    from core import wing as ref_wing  # noqa: PLC0415
+
+    return ref_model, ref_wing
+
+
 def install_torchvision_stub():
     """Minimal torchvision stub for the reference optics path.
 
