@@ -24,7 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     cfg = FaceDeIdConfig()
     p = argparse.ArgumentParser(description="TPU-native Face-DeId")
-    p.add_argument("--mode", required=True, choices=["train", "sample", "eval"])
+    p.add_argument("--mode", required=True, choices=["train", "sample", "eval", "align"])
+    p.add_argument("--inp_dir", default="", help="input dir for --mode align")
+    p.add_argument("--out_dir", default="", help="output dir for --mode align")
     for section in ("model", "loss", "train", "camera", "paths"):
         sub = getattr(cfg, section)
         for f in dataclasses.fields(sub):
@@ -144,6 +146,39 @@ def run_eval(cfg) -> None:
             print(f"{k}: {v:.4f}")
 
 
+def run_align(cfg, inp_dir: str, out_dir: str) -> None:
+    """Align faces to the CelebA mean frame (reference align_faces,
+    wing.py:446-467).  Needs celeba_lm_mean.npz and a FAN checkpoint."""
+    import os
+
+    from PIL import Image
+
+    from ..models.align import FaceAligner
+    from ..models.fan import FAN
+
+    fan = FAN()
+    fan_params = fan.init(jax.random.key(0), jnp.zeros((1, 256, 256, 3)))["params"]
+    if os.path.exists(cfg.paths.wing_path):
+        from ..utils.torch_import import fan_params_from_torch, load_torch_state_dict
+
+        fan_params = jax.tree_util.tree_map(
+            jnp.asarray, fan_params_from_torch(load_torch_state_dict(cfg.paths.wing_path))
+        )
+    mean_lm = np.load(cfg.paths.lm_path)["mean"] if os.path.exists(cfg.paths.lm_path) else (
+        np.tile([[128.0, 128.0]], (98, 1))
+    )
+    aligner = FaceAligner(fan, fan_params, mean_lm, cfg.model.img_size)
+    os.makedirs(out_dir, exist_ok=True)
+    for fname in sorted(os.listdir(inp_dir)):
+        img = Image.open(os.path.join(inp_dir, fname)).convert("RGB")
+        img = img.resize((cfg.model.img_size,) * 2, Image.BILINEAR)
+        x = np.asarray(img, np.float32)[None] / 255.0 * 2.0 - 1.0
+        aligned = aligner.align(x)[0]
+        out = np.clip((aligned * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+        Image.fromarray(out).save(os.path.join(out_dir, fname))
+        print(f"Saved the aligned image to {fname}...")
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
@@ -152,6 +187,8 @@ def main(argv=None) -> None:
         run_train(cfg, args.use_wandb)
     elif args.mode == "sample":
         run_sample(cfg, args.num_sample_batches)
+    elif args.mode == "align":
+        run_align(cfg, args.inp_dir, args.out_dir)
     else:
         run_eval(cfg)
 

@@ -108,10 +108,14 @@ def lookup_corr_pyramid(
     """Radius-r bilinear lookup at each level -> (B, H, W, L*(2r+1)^2)."""
     b, h, w, _ = coords.shape
     r = radius
-    dy, dx = np.meshgrid(
+    # The reference adds its meshgrid's SLOW axis to x and FAST axis to y
+    # (corr.py:37-43: centroid (x,y) + stack(meshgrid(dy,dx))), so the
+    # K^2 channel order is x-major; keep that exact layout so converted
+    # update-block weights line up.
+    slow, fast = np.meshgrid(
         np.linspace(-r, r, 2 * r + 1), np.linspace(-r, r, 2 * r + 1), indexing="ij"
     )
-    delta = jnp.asarray(np.stack([dx, dy], axis=-1), jnp.float32)  # (2r+1,2r+1,2)
+    delta = jnp.asarray(np.stack([slow, fast], axis=-1), jnp.float32)  # (x+slow, y+fast)
 
     out = []
     for i, corr in enumerate(pyramid):

@@ -1,0 +1,67 @@
+"""Device mesh + sharding helpers (the framework's distributed story).
+
+The reference's only multi-device mechanism is single-process
+``nn.DataParallel`` (``Face-DeId/core/model.py:281-308``).  The
+TPU-native equivalent is SPMD over a ``jax.sharding.Mesh``: the batch
+axis of every input rides the ``data`` mesh axis over ICI, parameters
+(and EMA/optimizer state) are replicated, and XLA inserts the gradient
+all-reduces inside the jitted train step.  A ``model`` axis is
+reserved for tensor-parallel experiments.
+
+These helpers are what the trainers and ``__graft_entry__`` use; on a
+single chip everything degrades to no-ops.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "replicate", "shard_batch"]
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Sequence[int] | None = None,
+) -> Mesh:
+    """Mesh over the first ``n_devices`` (all by default).
+
+    With one axis the mesh is 1-D data-parallel; pass ``shape`` (e.g.
+    ``(4, 2)`` with ``("data", "model")``) for hybrid layouts.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
+    """Place a pytree of host arrays: leading-dim-sharded when the size
+    divides the mesh axis, replicated otherwise (labels, scalars)."""
+    n = mesh.shape[axis]
+    bs = batch_sharding(mesh, axis)
+    rep = replicate(mesh)
+
+    def place(x):
+        x = np.asarray(x) if not hasattr(x, "shape") else x
+        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, bs)
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(place, batch)

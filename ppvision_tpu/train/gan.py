@@ -39,6 +39,7 @@ from flax import struct
 from ..config import FaceDeIdConfig
 from ..models.fan import FAN, get_heatmap
 from ..models.stargan import build_gan_models
+from ..ops.image import resize_bilinear
 from ..optics.camera import CameraConstants, CameraParams, camera_apply
 
 GAN_NETS = ("generator", "mapping_network", "style_encoder", "discriminator")
@@ -247,10 +248,10 @@ def make_train_step(
                 gp, mp, ep, params, x_real, y_src, y_trg, latent_styles, lam_ds, masks
             )
             if flow_fn is not None:
-                mask_org = (
-                    get_heatmap(fan, frozen.fan_params, x_src, delimiter=True,
-                                input_size=cfg.model.fan_input_size)[0] > 0.5
-                ).astype(x_src.dtype)
+                hm = get_heatmap(fan, frozen.fan_params, x_src, delimiter=True,
+                                 input_size=cfg.model.fan_input_size)[0]
+                hm = resize_bilinear(hm, x_src.shape[1:3])
+                mask_org = (hm > 0.5).astype(x_src.dtype)
                 flow = flow_fn(x_src * mask_org * 255.0, x_fake * mask_org * 255.0)
                 flow = flow * cfg.loss.lambda_flow
                 loss = loss + flow
@@ -294,10 +295,10 @@ def make_train_step(
                 loss = loss + lp
                 aux["lpips"] = lp
             if flow_fn is not None:
-                mask_org = (
-                    get_heatmap(fan, frozen.fan_params, x_src, delimiter=True,
-                                input_size=cfg.model.fan_input_size)[0] > 0.5
-                ).astype(x_src.dtype)
+                hm = get_heatmap(fan, frozen.fan_params, x_src, delimiter=True,
+                                 input_size=cfg.model.fan_input_size)[0]
+                hm = resize_bilinear(hm, x_src.shape[1:3])
+                mask_org = (hm > 0.5).astype(x_src.dtype)
                 flow = flow_fn(x_src * mask_org * 255.0, x_fake * mask_org * 255.0)
                 flow = flow * cfg.loss.lambda_flow
                 loss = loss + flow

@@ -285,3 +285,166 @@ def lens_params_from_torch(sd: Mapping[str, np.ndarray]):
         frozen_pre=np.asarray(get("zernike_coeffs_no_train"), np.float32).reshape(-1),
         frozen_post=np.asarray(get("zernike_coeffs_no_train2"), np.float32).reshape(-1),
     )
+
+
+# ---------------------------------------------------------------------------
+# ResNet-101 (torchvision state_dict layout) -> models.resnet.
+# ---------------------------------------------------------------------------
+
+
+def _bn_flax(sd, name):
+    """torchvision BatchNorm -> (flax nn.BatchNorm params, batch_stats)."""
+    return (
+        {
+            "scale": sd[f"{name}.weight"].astype(np.float32),
+            "bias": sd[f"{name}.bias"].astype(np.float32),
+        },
+        {
+            "mean": sd[f"{name}.running_mean"].astype(np.float32),
+            "var": sd[f"{name}.running_var"].astype(np.float32),
+        },
+    )
+
+
+def resnet_variables_from_torch(
+    sd: Mapping[str, np.ndarray], stage_sizes=(3, 4, 23, 3)
+) -> Tree:
+    """torchvision resnet state_dict -> {'params','batch_stats'} for
+    models.resnet.ResNetBackbone."""
+    params: Tree = {"Conv_0": _conv(sd, "conv1", bias=False)}
+    stats: Tree = {}
+    bnp, bns = _bn_flax(sd, "bn1")
+    params["BatchNorm_0"] = bnp
+    stats["BatchNorm_0"] = bns
+
+    blk = 0
+    for stage, n in enumerate(stage_sizes):
+        for b in range(n):
+            t = f"layer{stage + 1}.{b}"
+            name = f"Bottleneck_{blk}"
+            p: Tree = {}
+            st: Tree = {}
+            ci = bi = 0
+            if b == 0:
+                # Flax creation order: projection conv+bn first.
+                p[f"Conv_{ci}"] = _conv(sd, f"{t}.downsample.0", bias=False)
+                bnp, bns = _bn_flax(sd, f"{t}.downsample.1")
+                p[f"BatchNorm_{bi}"] = bnp
+                st[f"BatchNorm_{bi}"] = bns
+                ci += 1
+                bi += 1
+            for j in (1, 2, 3):
+                p[f"Conv_{ci}"] = _conv(sd, f"{t}.conv{j}", bias=False)
+                bnp, bns = _bn_flax(sd, f"{t}.bn{j}")
+                p[f"BatchNorm_{bi}"] = bnp
+                st[f"BatchNorm_{bi}"] = bns
+                ci += 1
+                bi += 1
+            params[name] = p
+            stats[name] = st
+            blk += 1
+    return {"params": params, "batch_stats": stats}
+
+
+def caption_encoder_variables_from_torch(sd, stage_sizes=(3, 4, 23, 3)) -> Tree:
+    """Wrap the backbone tree under the CaptionEncoder submodule name."""
+    v = resnet_variables_from_torch(sd, stage_sizes)
+    return {
+        "params": {"ResNetBackbone_0": v["params"]},
+        "batch_stats": {"ResNetBackbone_0": v["batch_stats"]},
+    }
+
+
+# ---------------------------------------------------------------------------
+# AlexNet features + LPIPS calibration -> metrics.lpips.LPIPS.
+# ---------------------------------------------------------------------------
+
+_ALEX_FEATURE_IDS = (0, 3, 6, 8, 10)  # conv indices inside alexnet.features
+
+
+def lpips_params_from_torch(
+    alexnet_sd: Mapping[str, np.ndarray], lpips_sd: Mapping[str, np.ndarray]
+) -> Tree:
+    """torchvision alexnet state_dict + the reference lpips_weights.ckpt
+    (keys 'lpips_weights.{i}.main.1.weight', Face-DeId/metrics/
+    lpips.py:28-60) -> params for metrics.lpips.LPIPS."""
+    alex: Tree = {}
+    for i, li in enumerate(_ALEX_FEATURE_IDS):
+        key = f"features.{li}" if f"features.{li}.weight" in alexnet_sd else str(li)
+        alex[f"Conv_{i}"] = _conv(alexnet_sd, key)
+    out: Tree = {"alexnet": alex}
+    for i in range(5):
+        w = np.asarray(lpips_sd[f"lpips_weights.{i}.main.1.weight"])  # (1, C, 1, 1)
+        out[f"lin_{i}"] = w[0, :, 0, 0][:, None].astype(np.float32)  # (C, 1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# RAFT (raft-things.pth) -> models.raft.RAFT.
+# ---------------------------------------------------------------------------
+
+_RAFT_LAYERS = [  # (torch name, stride, in_planes, planes)
+    ("layer1.0", 1, 64, 64),
+    ("layer1.1", 1, 64, 64),
+    ("layer2.0", 2, 64, 96),
+    ("layer2.1", 1, 96, 96),
+    ("layer3.0", 2, 96, 128),
+    ("layer3.1", 1, 128, 128),
+]
+
+
+def _raft_encoder(sd, prefix: str, norm: str) -> Tree:
+    """BasicEncoder (extractor.py:118-192).  'instance' norms are
+    torch-affine=False (no params); 'batch' norms map to our frozen-BN
+    _Norm params."""
+    out: Tree = {"Conv_0": _conv(sd, f"{prefix}.conv1")}
+    nidx = 0
+    if norm == "batch":
+        out[f"_Norm_{nidx}"] = _bn(sd, f"{prefix}.norm1")
+    nidx += 1
+    for i, (t, stride, in_p, planes) in enumerate(_RAFT_LAYERS):
+        blk: Tree = {
+            "Conv_0": _conv(sd, f"{prefix}.{t}.conv1"),
+            "Conv_1": _conv(sd, f"{prefix}.{t}.conv2"),
+        }
+        if norm == "batch":
+            blk["_Norm_0"] = _bn(sd, f"{prefix}.{t}.norm1")
+            blk["_Norm_1"] = _bn(sd, f"{prefix}.{t}.norm2")
+        if stride != 1 or in_p != planes:
+            blk["Conv_2"] = _conv(sd, f"{prefix}.{t}.downsample.0")
+            if norm == "batch":
+                blk["_Norm_2"] = _bn(sd, f"{prefix}.{t}.downsample.1")
+        out[f"ResidualBlock_{i}"] = blk
+    out["Conv_1"] = _conv(sd, f"{prefix}.conv2")
+    return out
+
+
+def raft_params_from_torch(sd: Mapping[str, np.ndarray]) -> Tree:
+    """raft-things state_dict ('module.' already stripped by
+    load_torch_state_dict) -> params for models.raft.RAFT."""
+    update: Tree = {
+        "BasicMotionEncoder_0": {
+            "Conv_0": _conv(sd, "update_block.encoder.convc1"),
+            "Conv_1": _conv(sd, "update_block.encoder.convc2"),
+            "Conv_2": _conv(sd, "update_block.encoder.convf1"),
+            "Conv_3": _conv(sd, "update_block.encoder.convf2"),
+            "Conv_4": _conv(sd, "update_block.encoder.conv"),
+        },
+        "SepConvGRU_0": {
+            "Conv_0": _conv(sd, "update_block.gru.convz1"),
+            "Conv_1": _conv(sd, "update_block.gru.convr1"),
+            "Conv_2": _conv(sd, "update_block.gru.convq1"),
+            "Conv_3": _conv(sd, "update_block.gru.convz2"),
+            "Conv_4": _conv(sd, "update_block.gru.convr2"),
+            "Conv_5": _conv(sd, "update_block.gru.convq2"),
+        },
+        "Conv_0": _conv(sd, "update_block.flow_head.conv1"),
+        "Conv_1": _conv(sd, "update_block.flow_head.conv2"),
+        "Conv_2": _conv(sd, "update_block.mask.0"),
+        "Conv_3": _conv(sd, "update_block.mask.2"),
+    }
+    return {
+        "fnet": _raft_encoder(sd, "fnet", "instance"),
+        "cnet": _raft_encoder(sd, "cnet", "batch"),
+        "update_block": update,
+    }

@@ -43,7 +43,13 @@ def test_local_corr_xla_matches_allpairs_lookup():
     pyramid = raft_mod.build_corr_pyramid(f1, f2, num_levels=1)
     want = np.asarray(raft_mod.lookup_corr_pyramid(pyramid, coords, radius=2))
     got = np.asarray(local_corr_xla(f1, f2, coords, radius=2)) / np.sqrt(c)
-    np.testing.assert_allclose(got, want, atol=2e-5)
+    # The pyramid lookup uses the reference CorrBlock's x-major channel
+    # order; local_corr uses the CUDA alternate kernel's y-major order
+    # (the two reference implementations genuinely differ) — so compare
+    # through a KxK transpose.
+    k = 5
+    got_t = got.reshape(*got.shape[:3], k, k).swapaxes(-1, -2).reshape(got.shape)
+    np.testing.assert_allclose(got_t, want, atol=2e-5)
 
 
 def test_local_corr_pallas_matches_xla_interpret():

@@ -84,3 +84,21 @@ def test_lambda_ds_schedule():
     mid = float(lambda_ds_schedule(cfg, jnp.asarray(cfg.loss.ds_iter // 2)))
     assert mid == pytest.approx(0.5, rel=1e-4)
     assert float(lambda_ds_schedule(cfg, jnp.asarray(cfg.loss.ds_iter * 2))) == 0.0
+
+
+@pytest.mark.slow
+def test_train_step_with_aux_losses(setup):
+    """Full G steps with LPIPS + RAFT flow terms plugged in."""
+    from ppvision_tpu.train.aux_losses import build_flow_fn, build_lpips_fn
+    from ppvision_tpu.train.gan import make_train_step
+
+    cfg, models, fan, state, frozen, batch = setup
+    lpips_fn, _ = build_lpips_fn(IMG, key=jax.random.key(7))
+    flow_fn, _ = build_flow_fn(
+        key=jax.random.key(8), iters=1, image_size=IMG, corr_levels=2, corr_radius=2
+    )
+    step = make_train_step(models, fan, cfg, lpips_fn=lpips_fn, flow_fn=flow_fn)
+    new_state, metrics = step(state, frozen, batch)
+    assert "G/ref_lpips" in metrics and "G/latent_flow" in metrics
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
