@@ -69,11 +69,11 @@ def _resize(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
     )
 
 
-def _random_resized_crop(
-    img: np.ndarray, rng: np.random.Generator, out: int,
-    scale=(0.8, 1.0), ratio=(0.9, 1.1),
-) -> np.ndarray:
-    """torchvision RandomResizedCrop semantics (10 attempts + fallback)."""
+def _sample_crop_box(
+    img: np.ndarray, rng: np.random.Generator, scale=(0.8, 1.0), ratio=(0.9, 1.1)
+) -> tuple[int, int, int, int] | None:
+    """torchvision RandomResizedCrop box (y, x, h, w); None -> center
+    fallback (10-attempt semantics)."""
     h, w = img.shape[:2]
     area = h * w
     for _ in range(10):
@@ -84,12 +84,18 @@ def _random_resized_crop(
         if 0 < cw <= w and 0 < ch <= h:
             top = int(rng.integers(0, h - ch + 1))
             left = int(rng.integers(0, w - cw + 1))
-            crop = img[top : top + ch, left : left + cw]
-            return _resize(crop, (out, out))
-    # Fallback: center crop to in-range aspect.
+            return (top, left, ch, cw)
     s = min(h, w)
-    top, left = (h - s) // 2, (w - s) // 2
-    return _resize(img[top : top + s, left : left + s], (out, out))
+    return ((h - s) // 2, (w - s) // 2, s, s)
+
+
+def _random_resized_crop(
+    img: np.ndarray, rng: np.random.Generator, out: int,
+    scale=(0.8, 1.0), ratio=(0.9, 1.1),
+) -> np.ndarray:
+    """torchvision RandomResizedCrop semantics (10 attempts + fallback)."""
+    top, left, ch, cw = _sample_crop_box(img, rng, scale, ratio)
+    return _resize(img[top : top + ch, left : left + cw], (out, out))
 
 
 def train_transform(
@@ -162,9 +168,15 @@ class FaceBatcher:
         crop_prob: float = 0.5,
         seed: int = 0,
         prefetch: int = 2,
+        use_native: bool | None = None,
     ):
         self.src = ImageFolderDataset(src_root)
         self.ref = ReferenceDataset(ref_root, seed=seed)
+        if use_native is None:
+            from . import native
+
+            use_native = native.available()
+        self._native = use_native
         self.img_size = img_size
         self.batch_size = batch_size
         self.latent_dim = latent_dim
@@ -175,20 +187,46 @@ class FaceBatcher:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    def _transform_many(self, paths: list[str]) -> np.ndarray:
+        """Decode + crop/resize/flip/normalize a list of images.
+
+        Uses the native C++ thread-pool path (bit-exact with PIL) when
+        the library built; falls back to per-image PIL otherwise.  The
+        random crop/flip decisions are always drawn host-side from the
+        same generator, so both paths consume identical randomness.
+        """
+        rng = self.rng
+        s = self.img_size
+        if not self._native:
+            return np.stack(
+                [train_transform(_load_rgb(p), rng, s, self.crop_prob) for p in paths]
+            )
+        from . import native
+
+        imgs, crops, flips = [], [], []
+        for p in paths:
+            img = _load_rgb(p)
+            h, w = img.shape[:2]
+            crop = (0, 0, h, w)
+            if rng.random() < self.crop_prob:
+                box = _sample_crop_box(img, rng)
+                if box is not None:
+                    crop = box
+            imgs.append(img)
+            crops.append(crop)
+            flips.append(rng.random() < 0.5)
+        return native.batch_transform(
+            imgs, np.asarray(crops, np.int32), (s, s), np.asarray(flips)
+        )
+
     def _make_batch(self) -> dict:
         rng = self.rng
-        b, s = self.batch_size, self.img_size
+        b = self.batch_size
         si = _balanced_indices(self.src.targets, rng, b)
         ri = _balanced_indices(self.ref.targets, rng, b)
-        x_src = np.stack(
-            [train_transform(_load_rgb(self.src.samples[i]), rng, s, self.crop_prob) for i in si]
-        )
-        x_ref = np.stack(
-            [train_transform(_load_rgb(self.ref.samples[i]), rng, s, self.crop_prob) for i in ri]
-        )
-        x_ref2 = np.stack(
-            [train_transform(_load_rgb(self.ref.samples2[i]), rng, s, self.crop_prob) for i in ri]
-        )
+        x_src = self._transform_many([self.src.samples[i] for i in si])
+        x_ref = self._transform_many([self.ref.samples[i] for i in ri])
+        x_ref2 = self._transform_many([self.ref.samples2[i] for i in ri])
         return dict(
             x_src=x_src,
             y_src=np.asarray([self.src.targets[i] for i in si], np.int32),

@@ -122,3 +122,21 @@ def test_create_input_files_and_dataset(caption_data):
     batches = list(caption_batches(ds, batch_size=4, shuffle=True, seed=0))
     assert all(b["images"].shape[0] == 4 for b in batches)
     assert batches[0]["captions"].shape[1] == 12  # max_len 10 + start/end
+
+
+def test_face_batcher_native_matches_pil(face_root):
+    """Native and PIL batchers draw the same randomness and agree."""
+    from ppvision_tpu.data import native
+
+    if not native.available():
+        pytest.skip("no native lib")
+    kw = dict(img_size=32, batch_size=4, latent_dim=8, seed=7)
+    fb_pil = FaceBatcher(str(face_root / "src"), str(face_root / "ref"), use_native=False, **kw)
+    b_pil = next(fb_pil)
+    fb_pil.close()
+    fb_nat = FaceBatcher(str(face_root / "src"), str(face_root / "ref"), use_native=True, **kw)
+    b_nat = next(fb_nat)
+    fb_nat.close()
+    for k in ("x_src", "x_ref", "x_ref2"):
+        np.testing.assert_allclose(b_nat[k], b_pil[k], atol=1e-6)
+    np.testing.assert_array_equal(b_nat["y_src"], b_pil["y_src"])
