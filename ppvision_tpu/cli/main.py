@@ -70,23 +70,49 @@ def config_from_args(args) -> "FaceDeIdConfig":
 
 
 def run_train(cfg, use_wandb: bool = False) -> None:
+    import os
+
     from ..data.face import FaceBatcher
-    from ..optics.camera import CameraSpec, init_camera_params, make_camera_constants
-    from ..train.gan import FrozenNets, init_gan, make_train_step
+    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    from ..train.gan import init_gan, make_train_step
+    from ..train.pretrained import build_aux_losses, load_frozen_nets
     from ..utils.checkpoint import StepCheckpoints
     from ..utils.logging import MetricWriter
 
     key = jax.random.key(cfg.train.seed)
     models, fan, state = init_gan(key, cfg)
-    spec = CameraSpec(n=cfg.model.img_size, zernike_terms=cfg.camera.zernike_terms)
-    fan_params = fan.init(jax.random.key(1), jnp.zeros((1, 256, 256, 3)))["params"]
-    frozen = FrozenNets(
-        camera_params=init_camera_params(jax.random.key(2), spec),
-        camera_consts=make_camera_constants(spec),
-        fan_params=fan_params,
-        fan_priv_params=fan_params,
-    )
+    # Pretrained camera + wing FAN + fan_priv decoder (solver.py:44-48, 99).
+    frozen = load_frozen_nets(cfg, fan, jax.random.key(1))
     ckpts = StepCheckpoints(cfg.paths.checkpoint_save_dir)
+
+    # Resume (solver.py:92-134): restore nets/EMA/optims at resume_iter,
+    # or at the latest saved step when resume_iter == 0.  The lambda_ds
+    # re-derivation is automatic — the schedule reads state.step.
+    start = cfg.train.resume_iter or (ckpts.latest_step("nets") or 0)
+    if start and os.path.exists(ckpts.path(start, "nets")):
+        state = state.replace(
+            params=ckpts.load(start, "nets", target=state.params),
+            ema_params=ckpts.load(start, "nets_ema", target=state.ema_params),
+            opt_states=ckpts.load(start, "optims", target=state.opt_states),
+            step=jnp.asarray(start, jnp.int32),
+        )
+        print(f"Resumed training from step {start}")
+    elif start:
+        print(f"No checkpoint at step {start} in {ckpts.root}; starting fresh")
+        start = 0
+
+    # Full paper loss: LPIPS x2000 + RAFT flow x10 (solver.py:161-184).
+    lpips_fn, flow_fn = build_aux_losses(cfg, jax.random.key(2))
+    step_fn = make_train_step(models, fan, cfg, lpips_fn=lpips_fn, flow_fn=flow_fn)
+
+    # Data parallelism: batch sharded over the mesh's data axis,
+    # params/EMA/optimizer state replicated; XLA inserts the gradient
+    # all-reduces (the TPU-native nn.DataParallel, model.py:281-308).
+    mesh = make_mesh(axis_names=(cfg.parallel.data_axis,))
+    rep = replicate(mesh)
+    state = jax.device_put(state, rep)
+    frozen = jax.device_put(frozen, rep)
+
     writer = MetricWriter(
         cfg.paths.checkpoint_save_dir, use_wandb, cfg.train.print_every
     )
@@ -99,10 +125,9 @@ def run_train(cfg, use_wandb: bool = False) -> None:
         crop_prob=cfg.train.randcrop_prob,
         seed=cfg.train.seed,
     )
-    step_fn = make_train_step(models, fan, cfg)
-    print("Start training...")
-    for i in range(cfg.train.resume_iter, cfg.train.total_iters):
-        batch = {k: jnp.asarray(v) for k, v in next(batcher).items()}
+    print(f"Start training on {len(mesh.devices.flat)} device(s)...")
+    for i in range(start, cfg.train.total_iters):
+        batch = shard_batch(mesh, next(batcher), axis=cfg.parallel.data_axis)
         state, metrics = step_fn(state, frozen, batch)
         writer.write(i + 1, metrics)
         if (i + 1) % cfg.train.save_every == 0:
@@ -118,7 +143,10 @@ def run_sample(cfg, num_batches: int = 1) -> None:
     from ..deid import build_deid
     from ..sample import translate_using_reference
 
+    from ..train.pretrained import restore_deid_params
+
     bundle = build_deid(jax.random.key(cfg.train.seed), cfg)
+    bundle = bundle._replace(params=restore_deid_params(bundle, cfg))
     srcs = eval_batches(cfg.paths.src_dir, cfg.model.img_size, cfg.train.val_batch_size)
     refs = eval_batches(cfg.paths.ref_dir, cfg.model.img_size, cfg.train.val_batch_size)
     for i, (src, ref) in enumerate(zip(srcs, refs)):
@@ -136,7 +164,10 @@ def run_eval(cfg) -> None:
     from ..deid import build_deid
     from ..metrics.eval_gan import calculate_metrics
 
+    from ..train.pretrained import restore_deid_params
+
     bundle = build_deid(jax.random.key(cfg.train.seed), cfg)
+    bundle = bundle._replace(params=restore_deid_params(bundle, cfg))
     for mode in ("latent", "reference"):
         res = calculate_metrics(
             bundle, bundle.params, cfg.paths.val_img_dir, mode=mode,

@@ -66,6 +66,11 @@ class TrainConfig:
     eval_every: int = 1_000_000
     debug_every: int = 100
     num_outs_per_domain: int = 10
+    # Auxiliary generator losses (reference solver.py:161-184 mixes
+    # LPIPS x2000 and RAFT-flow x10 into every G step).
+    use_lpips: bool = True
+    use_flow: bool = True
+    flow_iters: int = 20  # RAFT refinement iterations inside the loss
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,6 +97,15 @@ class PathsConfig:
     wing_path: str = "checkpoints/wing.ckpt"
     lm_path: str = "checkpoints/celeba_lm_mean.npz"
     camera_ckpt: str = "checkpoints/Model_wing.pth"
+    # Aux-loss / metric-net weights (reference download.sh artifacts).
+    lpips_path: str = "checkpoints/lpips_weights.ckpt"
+    alexnet_path: str = "checkpoints/alexnet.pth"
+    raft_path: str = "checkpoints/raft-things.pth"
+    inception_path: str = "checkpoints/inception_v3.pth"
+    arcface_path: str = "checkpoints/arcface.pth"
+    # Reference torch GAN checkpoint ('{:06d}_nets_ema.ckpt') to import
+    # for --mode sample/eval instead of orbax state.
+    torch_nets_ckpt: str = ""
 
 
 @dataclasses.dataclass(frozen=True)

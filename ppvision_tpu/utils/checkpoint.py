@@ -41,15 +41,38 @@ def save_pytree(path: str, tree: Any) -> None:
 
 def restore_pytree(path: str, target: Any | None = None) -> Any:
     """Restore a pytree; with ``target``, restores with its structure
-    and dtypes/shardings."""
+    and dtypes/shardings.
+
+    Trees containing namedtuple nodes (optax optimizer states) are
+    serialized as plain lists by orbax; for those the structured restore
+    fails and we rebuild the target structure from the restored leaves
+    (leaf order is stable for both save and restore).
+    """
     path = os.path.abspath(path)
     if target is None:
         return _checkpointer().restore(path)
     import orbax.checkpoint as ocp
 
-    return _checkpointer().restore(
-        path, restore_args=ocp.checkpoint_utils.construct_restore_args(target)
-    )
+    try:
+        return _checkpointer().restore(
+            path, restore_args=ocp.checkpoint_utils.construct_restore_args(target)
+        )
+    except (ValueError, TypeError):
+        raw = _checkpointer().restore(path)
+        leaves = jax.tree_util.tree_leaves(raw)
+        tgt_leaves, treedef = jax.tree_util.tree_flatten(target)
+        if len(leaves) != len(tgt_leaves):
+            raise ValueError(
+                f"checkpoint at {path} has {len(leaves)} leaves, "
+                f"target has {len(tgt_leaves)}"
+            )
+        import jax.numpy as jnp
+
+        cast = [
+            jnp.asarray(l, dtype=getattr(t, "dtype", None))
+            for l, t in zip(leaves, tgt_leaves)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, cast)
 
 
 def merge_loaded(target: Any, loaded: Any, skip_substrings: tuple[str, ...] = ()) -> Any:

@@ -1,0 +1,81 @@
+"""Per-stage breakdown of the de-id bench path on the current backend.
+
+Times camera / fan_priv heatmap / style encoder / generator separately
+(same shapes as bench.py), plus the fused whole pipeline. Prints JSON.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ppvision_tpu.config import CameraConfig, FaceDeIdConfig, ModelConfig
+from ppvision_tpu.deid import build_deid, deid_from_reference
+from ppvision_tpu.models.fan import get_heatmap
+from ppvision_tpu.optics.camera import camera_apply
+
+BATCH = int(__import__("os").environ.get("PPVISION_BENCH_BATCH", "256"))
+
+
+def timeit(fn, *args, reps=6):
+    float(fn(*args))  # compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def main():
+    cfg = FaceDeIdConfig(model=ModelConfig(img_size=128), camera=CameraConfig(n=128))
+    bundle = build_deid(jax.random.key(0), cfg)
+    p = bundle.params
+    x_src = jax.random.uniform(jax.random.key(1), (BATCH, 128, 128, 3))
+    x_ref = jax.random.uniform(jax.random.key(2), (BATCH, 128, 128, 3))
+    y_ref = jnp.zeros((BATCH,), dtype=jnp.int32)
+
+    cam = jax.jit(lambda x: jnp.sum(camera_apply(p.camera, p.camera_consts, x)[0]))
+    x_priv = camera_apply(p.camera, p.camera_consts, x_src)[0]
+
+    fanf = jax.jit(
+        lambda x: sum(
+            jnp.sum(m) for m in get_heatmap(bundle.fan, p.fan_priv, x, privacy=True)
+        )
+    )
+    masks = get_heatmap(bundle.fan, p.fan_priv, x_priv, privacy=True)
+
+    senc = jax.jit(
+        lambda x: jnp.sum(
+            bundle.models["style_encoder"].apply({"params": p.style_encoder}, x, y_ref)
+        )
+    )
+    s_ref = bundle.models["style_encoder"].apply({"params": p.style_encoder}, x_ref, y_ref)
+
+    gen = jax.jit(
+        lambda x, s, m: jnp.sum(
+            bundle.models["generator"].apply({"params": p.generator}, x, s, m)
+        )
+    )
+
+    full = jax.jit(lambda: jnp.sum(deid_from_reference(bundle, p, x_src, x_ref, y_ref)))
+
+    out = {
+        "batch": BATCH,
+        "backend": jax.devices()[0].platform,
+        "camera_s": timeit(cam, x_src),
+        "fan_priv_s": timeit(fanf, x_priv),
+        "style_encoder_s": timeit(senc, x_ref),
+        "generator_s": timeit(gen, x_priv, s_ref, masks),
+        "full_s": timeit(full),
+    }
+    out["full_img_s"] = round(BATCH / out["full_s"], 1)
+    for k in list(out):
+        if k.endswith("_s") and k != "full_img_s":
+            out[k] = round(out[k] * 1e3, 2)  # ms
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -87,6 +87,114 @@ def test_lambda_ds_schedule():
 
 
 @pytest.mark.slow
+def test_sharded_step_matches_single_device(setup):
+    """An 8-way data-parallel train step must match the single-device
+    step numerically (the DataParallel contract,
+    Face-DeId/core/model.py:281-308)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg, models, fan, state, frozen, batch = setup
+    # float32 compute so the only divergence source is reduction order.
+    cfg32 = FaceDeIdConfig(
+        model=ModelConfig(
+            img_size=IMG, fan_input_size=64, max_conv_dim=32, style_dim=8,
+            compute_dtype="float32",
+        ),
+        camera=cfg.camera,
+        loss=cfg.loss,
+    )
+    models32, fan32, state32 = init_gan(jax.random.key(0), cfg32)
+    b = 8
+    ks = jax.random.split(jax.random.key(11), 6)
+    big = dict(
+        x_src=jax.random.uniform(ks[0], (b, IMG, IMG, 3)),
+        y_src=jnp.zeros((b,), dtype=jnp.int32),
+        x_ref=jax.random.uniform(ks[1], (b, IMG, IMG, 3)),
+        x_ref2=jax.random.uniform(ks[2], (b, IMG, IMG, 3)),
+        y_ref=jnp.ones((b,), dtype=jnp.int32),
+        z_trg=jax.random.normal(ks[3], (b, cfg.model.latent_dim)),
+        z_trg2=jax.random.normal(ks[4], (b, cfg.model.latent_dim)),
+    )
+    step = make_train_step(models32, fan32, cfg32)
+
+    ref_state, ref_metrics = step(state32, frozen, big)
+
+    assert len(jax.devices()) >= 8, "conftest must provision 8 virtual devices"
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+    shard = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    big_sharded = {
+        k: jax.device_put(v, shard if v.ndim >= 1 and v.shape[0] == b else rep)
+        for k, v in big.items()
+    }
+    state_s = jax.device_put(state32, rep)
+    frozen_s = jax.device_put(frozen, rep)
+    new_state, metrics = step(state_s, frozen_s, big_sharded)
+
+    # Losses are the semantic check (GSPMD must compute global-batch math).
+    for k in ref_metrics:
+        assert float(metrics[k]) == pytest.approx(float(ref_metrics[k]), rel=1e-3, abs=1e-5), k
+    # Params: Adam's first-step update is ~sign(g)*lr, so reduction-order
+    # noise on near-zero grads flips individual elements by up to 2*lr
+    # per update (the generator and discriminator take two updates per
+    # iteration).  atol at that bound still catches any real sharding
+    # bug (which would also blow the metrics check above).
+    # A handful of tail elements exceed even that (weight decay + R1
+    # second-order amplification), so bound the max at 10*lr and the
+    # MEAN at lr/10 — a systematic per-shard-mean bug shifts every
+    # element and fails both.
+    for net in ("generator", "mapping_network", "style_encoder", "discriminator"):
+        lr = 1e-6 if net == "mapping_network" else 1e-4
+        diffs = [
+            np.abs(np.asarray(a) - np.asarray(b_)).ravel()
+            for a, b_ in zip(
+                jax.tree_util.tree_leaves(ref_state.params[net]),
+                jax.tree_util.tree_leaves(new_state.params[net]),
+            )
+        ]
+        diff = np.concatenate(diffs)
+        assert diff.max() < 10 * lr, (net, diff.max())
+        assert diff.mean() < lr / 10, (net, diff.mean())
+
+
+@pytest.mark.slow
+def test_resume_is_bit_exact(setup, tmp_path):
+    """save at step 1 -> restore -> step 2 must equal two uninterrupted
+    steps (reference resume semantics, solver.py:92-134)."""
+    from ppvision_tpu.utils.checkpoint import StepCheckpoints
+
+    cfg, models, fan, state, frozen, batch = setup
+    step = make_train_step(models, fan, cfg)
+
+    s1, _ = step(state, frozen, batch)
+    s2, _ = step(s1, frozen, batch)
+
+    ckpts = StepCheckpoints(str(tmp_path / "ck"))
+    ckpts.save(1, "nets", s1.params)
+    ckpts.save(1, "nets_ema", s1.ema_params)
+    ckpts.save(1, "optims", s1.opt_states)
+
+    restored = state.replace(
+        params=ckpts.load(1, "nets", target=state.params),
+        ema_params=ckpts.load(1, "nets_ema", target=state.ema_params),
+        opt_states=ckpts.load(1, "optims", target=state.opt_states),
+        step=jnp.asarray(1, jnp.int32),
+    )
+    s2_resumed, _ = step(restored, frozen, batch)
+
+    assert int(s2_resumed.step) == int(s2.step) == 2
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s2.params), jax.tree_util.tree_leaves(s2_resumed.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s2.ema_params),
+        jax.tree_util.tree_leaves(s2_resumed.ema_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
 def test_train_step_with_aux_losses(setup):
     """Full G steps with LPIPS + RAFT flow terms plugged in."""
     from ppvision_tpu.train.aux_losses import build_flow_fn, build_lpips_fn
