@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                 p.add_argument(flag, type=type(default), default=default)
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--num_sample_batches", type=int, default=1)
+    p.add_argument(
+        "--allow_random_metrics", action="store_true",
+        help="let --mode eval run with random-weight metric nets "
+        "(relative comparisons only; published numbers need converted ckpts)",
+    )
     return p
 
 
@@ -160,18 +165,19 @@ def run_sample(cfg, num_batches: int = 1) -> None:
         )
 
 
-def run_eval(cfg) -> None:
+def run_eval(cfg, allow_random_metrics: bool = False) -> None:
     from ..deid import build_deid
-    from ..metrics.eval_gan import calculate_metrics
-
+    from ..metrics.eval_gan import calculate_metrics, load_metric_nets
     from ..train.pretrained import restore_deid_params
 
     bundle = build_deid(jax.random.key(cfg.train.seed), cfg)
     bundle = bundle._replace(params=restore_deid_params(bundle, cfg))
+    metric_nets = load_metric_nets(cfg.paths)
     for mode in ("latent", "reference"):
         res = calculate_metrics(
             bundle, bundle.params, cfg.paths.val_img_dir, mode=mode,
             num_outs=cfg.train.num_outs_per_domain, out_dir=cfg.paths.eval_dir,
+            allow_random_metrics=allow_random_metrics, **metric_nets,
         )
         for k, v in res.items():
             print(f"{k}: {v:.4f}")
@@ -221,7 +227,7 @@ def main(argv=None) -> None:
     elif args.mode == "align":
         run_align(cfg, args.inp_dir, args.out_dir)
     else:
-        run_eval(cfg)
+        run_eval(cfg, args.allow_random_metrics)
 
 
 if __name__ == "__main__":

@@ -22,14 +22,47 @@ import numpy as np
 
 from ..data.face import eval_batches, list_images
 from ..deid import DeIdBundle, DeIdParams, deid_from_latent, deid_from_reference
+from .face_id import IResNet, face_id_cosine, make_embed_fn
 from .fid import InceptionV3, collect_activations, fid_from_activations
 from .lpips import LPIPS
 
-__all__ = ["calculate_metrics"]
+__all__ = ["calculate_metrics", "load_metric_nets"]
 
 
 def _domains(root: str) -> list[str]:
     return sorted(d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+
+
+def load_metric_nets(paths) -> dict[str, Any]:
+    """Import pretrained metric-net weights from a PathsConfig.
+
+    Returns a dict with any of 'lpips_params' / 'inception_params' /
+    'arcface_params' whose checkpoint files exist (utils.torch_import
+    conversions); missing ones are simply absent.
+    """
+    from ..utils.torch_import import load_torch_state_dict
+
+    out: dict[str, Any] = {}
+    if os.path.exists(paths.lpips_path) and os.path.exists(paths.alexnet_path):
+        from ..utils.torch_import import lpips_params_from_torch
+
+        out["lpips_params"] = lpips_params_from_torch(
+            load_torch_state_dict(paths.alexnet_path),
+            load_torch_state_dict(paths.lpips_path),
+        )
+    if os.path.exists(paths.inception_path):
+        from ..utils.torch_import import inception_variables_from_torch
+
+        out["inception_params"] = inception_variables_from_torch(
+            load_torch_state_dict(paths.inception_path)
+        )
+    if os.path.exists(paths.arcface_path):
+        from .face_id import arcface_variables_from_torch
+
+        out["arcface_params"] = arcface_variables_from_torch(
+            load_torch_state_dict(paths.arcface_path)
+        )
+    return out
 
 
 def calculate_metrics(
@@ -41,18 +74,49 @@ def calculate_metrics(
     batch_size: int = 8,
     lpips_params: Any | None = None,
     inception_params: Any | None = None,
+    arcface_params: Any | None = None,
+    allow_random_metrics: bool = False,
     out_dir: str | None = None,
     step: int = 0,
     seed: int = 0,
     max_images: int | None = None,
 ) -> dict[str, float]:
-    """LPIPS_{mode} per src->trg task + FID per target domain.
+    """LPIPS_{mode} per src->trg task + FID per target domain + face-ID
+    cosine (src vs anonymized, BASELINE.json parity metric).
 
-    ``lpips_params`` / ``inception_params`` come from converted
-    reference checkpoints (utils.torch_import); fresh random nets are
-    used if omitted (relative comparisons only).
+    ``lpips_params`` / ``inception_params`` / ``arcface_params`` come
+    from converted reference checkpoints (``load_metric_nets``).  When a
+    net's weights are missing the eval REFUSES to fabricate published
+    numbers unless ``allow_random_metrics=True``, in which case fresh
+    random nets are used (relative comparisons only) and a loud warning
+    is printed.
     """
+    import sys
+
     assert mode in ("latent", "reference")
+    missing = [
+        n
+        for n, p in (
+            ("LPIPS", lpips_params),
+            ("InceptionV3/FID", inception_params),
+            ("ArcFace/face-ID", arcface_params),
+        )
+        if p is None
+    ]
+    if missing and not allow_random_metrics:
+        raise RuntimeError(
+            f"metric nets without pretrained weights: {', '.join(missing)}. "
+            "Converted checkpoints are required to reproduce published "
+            "numbers (see utils.torch_import / load_metric_nets); pass "
+            "allow_random_metrics=True (CLI: --allow_random_metrics) for "
+            "relative-only numbers from random nets."
+        )
+    if missing:
+        print(
+            f"WARNING: random-weight metric nets: {', '.join(missing)} — "
+            "values are NOT comparable to published numbers.",
+            file=sys.stderr,
+        )
     cfg = bundle.cfg
     img_size = cfg.model.img_size
     domains = _domains(val_root)
@@ -61,6 +125,13 @@ def calculate_metrics(
         x0 = jnp.zeros((1, img_size, img_size, 3))
         lpips_params = lpips.init(jax.random.key(0), x0, x0)["params"]
     lpips_fn = jax.jit(lambda a, b: lpips.apply({"params": lpips_params}, a, b))
+    id_net = IResNet()
+    if arcface_params is None:
+        arcface_params = id_net.init(jax.random.key(2), jnp.zeros((1, 112, 112, 3)))[
+            "params"
+        ]
+    embed_fn = make_embed_fn(id_net, arcface_params)
+    id_cos_fn = jax.jit(lambda a, b: face_id_cosine(embed_fn, a, b))
 
     gen_ref = jax.jit(
         lambda p, xs, xr, yr: deid_from_reference(bundle, p, xs, xr, yr)
@@ -77,6 +148,7 @@ def calculate_metrics(
                 continue
             task = f"{src}2{trg}"
             lpips_vals = []
+            id_vals = []
             src_root = os.path.join(val_root, src)
             trg_files = list_images(os.path.join(val_root, trg))
             n_seen = 0
@@ -114,6 +186,10 @@ def calculate_metrics(
                 for i in range(num_outs - 1):
                     for j in range(i + 1, num_outs):
                         lpips_vals.append(float(lpips_fn(outs[i], outs[j])))
+                # Identity leakage: cosine(src, anonymized) — lower is
+                # better de-identification (BASELINE parity metric).
+                for o in outs:
+                    id_vals.append(float(id_cos_fn(x_src, o)))
                 fake_sets[trg].extend(np.asarray(o) for o in outs)
                 if out_dir:
                     os.makedirs(os.path.join(out_dir, task), exist_ok=True)
@@ -125,6 +201,7 @@ def calculate_metrics(
                             os.path.join(out_dir, task, f"{n_seen}_{k}.png")
                         )
             results[f"LPIPS_{mode}/{task}"] = float(np.mean(lpips_vals)) if lpips_vals else 0.0
+            results[f"FaceIDcos_{mode}/{task}"] = float(np.mean(id_vals)) if id_vals else 0.0
 
     # FID real-vs-fake per target domain.
     inception = InceptionV3()

@@ -1,0 +1,199 @@
+"""Face-identity embedding + cosine-similarity parity metric.
+
+BASELINE.json requires "SSIM & face-ID-cosine parity" for the de-id
+pipeline; the reference repo itself carries no ID-embedding net (its
+README identity numbers come from external MtCNN/Dlib tooling), so this
+is a framework-native addition: an ArcFace-style IResNet-50 embedder
+(the standard insightface architecture — 112x112 input, 512-d output)
+with a torch state_dict importer, plus the cosine metric used to score
+how much identity the anonymization removes (lower |cos| = better
+de-identification) or how stable identity is across reruns (parity).
+
+Pretrained weights load from an insightface ``iresnet50`` torch
+state_dict via ``arcface_variables_from_torch``; with random weights
+only relative comparisons are meaningful.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+__all__ = [
+    "IResNet",
+    "face_id_cosine",
+    "make_embed_fn",
+    "arcface_variables_from_torch",
+]
+
+
+class _FrozenBN(nn.Module):
+    """BatchNorm with running stats as params (eval-only), eps=1e-5."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = self.param("mean", nn.initializers.zeros, (c,))
+        var = self.param("var", nn.initializers.ones, (c,))
+        mul = (jax.lax.rsqrt(var + self.eps) * scale).astype(x.dtype)
+        add = (bias - mean * jax.lax.rsqrt(var + self.eps) * scale).astype(x.dtype)
+        return x * mul + add
+
+
+class _PReLU(nn.Module):
+    """Per-channel PReLU (torch nn.PReLU(num_parameters=C))."""
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param("alpha", nn.initializers.constant(0.25), (x.shape[-1],))
+        return jnp.where(x >= 0, x, x * a.astype(x.dtype))
+
+
+class IBasicBlock(nn.Module):
+    """insightface IBasicBlock: BN-conv-BN-PReLU-conv-BN (+1x1 down)."""
+
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        out = _FrozenBN()(x)
+        out = nn.Conv(
+            self.features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+            dtype=self.dtype,
+        )(out)
+        out = _FrozenBN()(out)
+        out = _PReLU()(out)
+        out = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+        )(out)
+        out = _FrozenBN()(out)
+        if self.downsample:
+            x = nn.Conv(
+                self.features, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype,
+            )(x)
+            x = _FrozenBN()(x)
+        return out + x
+
+
+class IResNet(nn.Module):
+    """ArcFace IResNet: 112x112x3 in [-1, 1] -> 512-d embedding.
+
+    ``layers=(3, 4, 14, 3)`` is iresnet50.
+    """
+
+    layers: tuple[int, ...] = (3, 4, 14, 3)
+    embed_dim: int = 512
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = nn.Conv(64, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype)(x)
+        x = _FrozenBN()(x)
+        x = _PReLU()(x)
+        # Stage widths (64, 128, 256, 512), stride 2 at each stage entry
+        # (iresnet.py in insightface).
+        widths = (64, 128, 256, 512)
+        for w, n_blocks in zip(widths, self.layers):
+            for i in range(n_blocks):
+                stride = 2 if i == 0 else 1
+                down = i == 0
+                x = IBasicBlock(w, stride=stride, downsample=down, dtype=self.dtype)(x)
+        x = _FrozenBN()(x)
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+        x = nn.Dense(self.embed_dim)(x)
+        # 1-d "features" BN over the embedding (affine, eps 1e-5).
+        x = _FrozenBN()(x)
+        return x
+
+
+def make_embed_fn(model: IResNet, params: Any):
+    """Jittable: NHWC [0,1] face batch (any square size) -> unit 512-d."""
+
+    def embed(x):
+        x = jax.image.resize(x, (x.shape[0], 112, 112, 3), "bilinear")
+        x = x * 2.0 - 1.0
+        e = model.apply({"params": params}, x)
+        return e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-10)
+
+    return embed
+
+
+def face_id_cosine(embed_fn, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Mean cosine similarity between embeddings of two face batches."""
+    ea, eb = embed_fn(a), embed_fn(b)
+    return jnp.mean(jnp.sum(ea * eb, axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# insightface iresnet torch state_dict -> IResNet params.
+# ---------------------------------------------------------------------------
+
+
+def _bn_t(sd, name):
+    return {
+        "scale": np.asarray(sd[f"{name}.weight"], np.float32),
+        "bias": np.asarray(sd[f"{name}.bias"], np.float32),
+        "mean": np.asarray(sd[f"{name}.running_mean"], np.float32),
+        "var": np.asarray(sd[f"{name}.running_var"], np.float32),
+    }
+
+
+def _conv_t(sd, name):
+    return {"kernel": np.transpose(np.asarray(sd[f"{name}.weight"], np.float32), (2, 3, 1, 0))}
+
+
+def arcface_variables_from_torch(
+    sd: Mapping[str, np.ndarray], layers: tuple[int, ...] = (3, 4, 14, 3)
+) -> dict:
+    """insightface ``iresnet`` state_dict -> params for IResNet."""
+    out: dict = {
+        "Conv_0": _conv_t(sd, "conv1"),
+        "_FrozenBN_0": _bn_t(sd, "bn1"),
+        "_PReLU_0": {"alpha": np.asarray(sd["prelu.weight"], np.float32)},
+    }
+    idx = 0
+    for li, n_blocks in enumerate(layers, start=1):
+        for bi in range(n_blocks):
+            t = f"layer{li}.{bi}"
+            blk = {
+                "_FrozenBN_0": _bn_t(sd, f"{t}.bn1"),
+                "Conv_0": _conv_t(sd, f"{t}.conv1"),
+                "_FrozenBN_1": _bn_t(sd, f"{t}.bn2"),
+                "_PReLU_0": {"alpha": np.asarray(sd[f"{t}.prelu.weight"], np.float32)},
+                "Conv_1": _conv_t(sd, f"{t}.conv2"),
+                "_FrozenBN_2": _bn_t(sd, f"{t}.bn3"),
+            }
+            if bi == 0:
+                blk["Conv_2"] = _conv_t(sd, f"{t}.downsample.0")
+                blk["_FrozenBN_3"] = _bn_t(sd, f"{t}.downsample.1")
+            out[f"IBasicBlock_{idx}"] = blk
+            idx += 1
+    out["_FrozenBN_1"] = _bn_t(sd, "bn2")
+    # torch fc flattens NCHW (C,H,W); our flatten is NHWC (H,W,C) —
+    # permute the fc input dimension accordingly.
+    w = np.asarray(sd["fc.weight"], np.float32)  # (E, C*H*W)
+    e = w.shape[0]
+    c = 512
+    hw = w.shape[1] // c
+    s = int(np.sqrt(hw))
+    w = w.reshape(e, c, s, s).transpose(0, 2, 3, 1).reshape(e, -1)
+    out["Dense_0"] = {"kernel": w.T, "bias": np.asarray(sd["fc.bias"], np.float32)}
+    # BatchNorm1d 'features' — affine weight/bias + running stats.
+    out["_FrozenBN_2"] = _bn_t(sd, "features")
+    return out

@@ -29,6 +29,7 @@ __all__ = [
     "discriminator_params_from_torch",
     "camera_params_from_torch",
     "lens_params_from_torch",
+    "inception_variables_from_torch",
 ]
 
 Tree = dict
@@ -448,3 +449,95 @@ def raft_params_from_torch(sd: Mapping[str, np.ndarray]) -> Tree:
         "cnet": _raft_encoder(sd, "cnet", "batch"),
         "update_block": update,
     }
+
+
+# ---------------------------------------------------------------------------
+# InceptionV3 (torchvision inception_v3 state_dict layout) -> metrics.fid.
+# ---------------------------------------------------------------------------
+
+# torchvision branch names in our BasicConv creation order, per block type
+# (metrics/fid.py InceptionA..E __call__ order).
+_INCEPTION_BRANCHES = {
+    "A": [
+        "branch1x1", "branch5x5_1", "branch5x5_2",
+        "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3", "branch_pool",
+    ],
+    "B": ["branch3x3", "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3"],
+    "C": [
+        "branch1x1", "branch7x7_1", "branch7x7_2", "branch7x7_3",
+        "branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+        "branch7x7dbl_4", "branch7x7dbl_5", "branch_pool",
+    ],
+    "D": [
+        "branch3x3_1", "branch3x3_2",
+        "branch7x7x3_1", "branch7x7x3_2", "branch7x7x3_3", "branch7x7x3_4",
+    ],
+    "E": [
+        "branch1x1", "branch3x3_1", "branch3x3_2a", "branch3x3_2b",
+        "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3a",
+        "branch3x3dbl_3b", "branch_pool",
+    ],
+}
+
+# (flax top-level module name, torchvision module name, block type)
+_INCEPTION_BLOCKS = [
+    ("InceptionA_0", "Mixed_5b", "A"),
+    ("InceptionA_1", "Mixed_5c", "A"),
+    ("InceptionA_2", "Mixed_5d", "A"),
+    ("InceptionB_0", "Mixed_6a", "B"),
+    ("InceptionC_0", "Mixed_6b", "C"),
+    ("InceptionC_1", "Mixed_6c", "C"),
+    ("InceptionC_2", "Mixed_6d", "C"),
+    ("InceptionC_3", "Mixed_6e", "C"),
+    ("InceptionD_0", "Mixed_7a", "D"),
+    ("InceptionE_0", "Mixed_7b", "E"),
+    ("InceptionE_1", "Mixed_7c", "E"),
+]
+
+_INCEPTION_STEM = [
+    "Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
+    "Conv2d_3b_1x1", "Conv2d_4a_3x3",
+]
+
+
+def _basic_conv(sd, name) -> tuple[Tree, Tree]:
+    """torchvision BasicConv2d -> (params, batch_stats) for fid.BasicConv."""
+    params = {
+        "Conv_0": _conv(sd, f"{name}.conv", bias=False),
+        "BatchNorm_0": {
+            "scale": sd[f"{name}.bn.weight"].astype(np.float32),
+            "bias": sd[f"{name}.bn.bias"].astype(np.float32),
+        },
+    }
+    stats = {
+        "BatchNorm_0": {
+            "mean": sd[f"{name}.bn.running_mean"].astype(np.float32),
+            "var": sd[f"{name}.bn.running_var"].astype(np.float32),
+        }
+    }
+    return params, stats
+
+
+def inception_variables_from_torch(sd: Mapping[str, np.ndarray]) -> Tree:
+    """torchvision ``inception_v3`` state_dict -> variables
+    ``{'params', 'batch_stats'}`` for ``metrics.fid.InceptionV3``.
+
+    The reference FID extractor is the torchvision model up to pool3
+    (Face-DeId/metrics/fid.py:18-44); AuxLogits / fc weights are ignored.
+    """
+    params: Tree = {}
+    stats: Tree = {}
+    for i, tname in enumerate(_INCEPTION_STEM):
+        p, s = _basic_conv(sd, tname)
+        params[f"BasicConv_{i}"] = p
+        stats[f"BasicConv_{i}"] = s
+    for fname, tname, btype in _INCEPTION_BLOCKS:
+        bp: Tree = {}
+        bs: Tree = {}
+        for j, branch in enumerate(_INCEPTION_BRANCHES[btype]):
+            p, s = _basic_conv(sd, f"{tname}.{branch}")
+            bp[f"BasicConv_{j}"] = p
+            bs[f"BasicConv_{j}"] = s
+        params[fname] = bp
+        stats[fname] = bs
+    return {"params": params, "batch_stats": stats}

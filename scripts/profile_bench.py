@@ -37,21 +37,23 @@ def main():
     y_ref = jnp.zeros((BATCH,), dtype=jnp.int32)
 
     cam = jax.jit(lambda x: jnp.sum(camera_apply(p.camera, p.camera_consts, x)[0]))
-    x_priv = camera_apply(p.camera, p.camera_consts, x_src)[0]
+    x_priv = jax.jit(lambda x: camera_apply(p.camera, p.camera_consts, x)[0])(x_src)
 
     fanf = jax.jit(
         lambda x: sum(
             jnp.sum(m) for m in get_heatmap(bundle.fan, p.fan_priv, x, privacy=True)
         )
     )
-    masks = get_heatmap(bundle.fan, p.fan_priv, x_priv, privacy=True)
+    masks = jax.jit(lambda x: get_heatmap(bundle.fan, p.fan_priv, x, privacy=True))(x_priv)
 
     senc = jax.jit(
         lambda x: jnp.sum(
             bundle.models["style_encoder"].apply({"params": p.style_encoder}, x, y_ref)
         )
     )
-    s_ref = bundle.models["style_encoder"].apply({"params": p.style_encoder}, x_ref, y_ref)
+    s_ref = jax.jit(
+        lambda x: bundle.models["style_encoder"].apply({"params": p.style_encoder}, x, y_ref)
+    )(x_ref)
 
     gen = jax.jit(
         lambda x, s, m: jnp.sum(
