@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_wandb", action="store_true")
     p.add_argument("--num_sample_batches", type=int, default=1)
     p.add_argument(
+        "--video", action="store_true",
+        help="with --mode sample: treat src_dir as a frame sequence; "
+        "write de-id + interpolation videos and a flow-consistency score",
+    )
+    p.add_argument(
         "--allow_random_metrics", action="store_true",
         help="let --mode eval run with random-weight metric nets "
         "(relative comparisons only; published numbers need converted ckpts)",
@@ -130,11 +135,22 @@ def run_train(cfg, use_wandb: bool = False) -> None:
         crop_prob=cfg.train.randcrop_prob,
         seed=cfg.train.seed,
     )
+    from ..utils.debug import make_debug_forward, save_debug_grid
+
+    debug_fwd = None
     print(f"Start training on {len(mesh.devices.flat)} device(s)...")
     for i in range(start, cfg.train.total_iters):
         batch = shard_batch(mesh, next(batcher), axis=cfg.parallel.data_axis)
         state, metrics = step_fn(state, frozen, batch)
         writer.write(i + 1, metrics)
+        if cfg.train.debug_every and (i + 1) % cfg.train.debug_every == 0:
+            # The reference's 10-panel grid (solver.py:216-248).
+            if debug_fwd is None:
+                debug_fwd = make_debug_forward(models, fan, cfg)
+            images, heats = debug_fwd(state.params, frozen, batch)
+            save_debug_grid(
+                images, heats, os.path.join(cfg.paths.debug_dir, f"Img_{i + 1}.svg")
+            )
         if (i + 1) % cfg.train.save_every == 0:
             ckpts.save(i + 1, "nets", state.params)
             ckpts.save(i + 1, "nets_ema", state.ema_params)
@@ -143,15 +159,16 @@ def run_train(cfg, use_wandb: bool = False) -> None:
     batcher.close()
 
 
-def run_sample(cfg, num_batches: int = 1) -> None:
+def run_sample(cfg, num_batches: int = 1, video: bool = False) -> None:
     from ..data.face import eval_batches
     from ..deid import build_deid
     from ..sample import translate_using_reference
-
     from ..train.pretrained import restore_deid_params
 
     bundle = build_deid(jax.random.key(cfg.train.seed), cfg)
     bundle = bundle._replace(params=restore_deid_params(bundle, cfg))
+    if video:
+        return run_video(cfg, bundle)
     srcs = eval_batches(cfg.paths.src_dir, cfg.model.img_size, cfg.train.val_batch_size)
     refs = eval_batches(cfg.paths.ref_dir, cfg.model.img_size, cfg.train.val_batch_size)
     for i, (src, ref) in enumerate(zip(srcs, refs)):
@@ -163,6 +180,70 @@ def run_sample(cfg, num_batches: int = 1) -> None:
             bundle, bundle.params, jnp.asarray(src), jnp.asarray(ref), y_ref,
             out_dir=cfg.paths.result_dir, tag=i,
         )
+
+
+def run_video(cfg, bundle) -> None:
+    """Video de-id (BASELINE config 5): treat src_dir's sorted frames as
+    a sequence, anonymize each with one fixed reference style, write an
+    mp4 + a reference-interpolation video, and report RAFT temporal
+    flow-consistency (reference core/utils.py:259-425 + loss_RAFT)."""
+    import os
+
+    from ..data.face import eval_batches
+    from ..deid import deid_from_reference
+    from ..sample import video_ref, write_video
+
+    out_dir = cfg.paths.result_dir
+    os.makedirs(out_dir, exist_ok=True)
+    srcs = np.concatenate(
+        list(eval_batches(cfg.paths.src_dir, cfg.model.img_size, cfg.train.val_batch_size))
+    )
+    refs = np.concatenate(
+        list(eval_batches(cfg.paths.ref_dir, cfg.model.img_size, cfg.train.val_batch_size))
+    )
+    # Fixed style from the first reference face for the whole sequence.
+    fn = jax.jit(lambda p, xs, xr, yr: deid_from_reference(bundle, p, xs, xr, yr))
+    ref0 = jnp.broadcast_to(jnp.asarray(refs[:1]), srcs.shape)
+    y = jnp.zeros((srcs.shape[0],), jnp.int32)
+    fakes = np.asarray(fn(bundle.params, jnp.asarray(srcs), ref0, y))
+    seq_path = os.path.join(out_dir, "video_deid.mp4")
+    write_video(fakes, seq_path)
+    print(f"Wrote de-id sequence video to {seq_path}")
+
+    # Style-interpolation showcase video (utils.py:310-341).
+    n = min(8, srcs.shape[0], refs.shape[0])
+    interp_path = os.path.join(out_dir, "video_ref.mp4")
+    video_ref(
+        bundle, bundle.params,
+        jnp.asarray(srcs[:n]), jnp.asarray(refs[: max(n, 2)]),
+        jnp.zeros((max(n, 2),), jnp.int32), interp_path,
+    )
+    print(f"Wrote interpolation video to {interp_path}")
+
+    # Temporal consistency of the anonymized sequence vs the source.
+    if srcs.shape[0] >= 2:
+        from ..metrics.temporal import flow_consistency
+        from ..models.raft import RAFT
+        from ..train.pretrained import warn_random_init
+
+        raft = RAFT()
+        if os.path.exists(cfg.paths.raft_path):
+            from ..utils.torch_import import raft_params_from_torch, load_torch_state_dict
+
+            rp = jax.tree_util.tree_map(
+                jnp.asarray,
+                raft_params_from_torch(load_torch_state_dict(cfg.paths.raft_path)),
+            )
+        else:
+            warn_random_init("RAFT (raft-things.pth)", cfg.paths.raft_path)
+            rp = raft.init(
+                jax.random.key(0),
+                jnp.zeros((1, cfg.model.img_size, cfg.model.img_size, 3)),
+                jnp.zeros((1, cfg.model.img_size, cfg.model.img_size, 3)),
+                iters=1,
+            )["params"]
+        score = flow_consistency(raft, rp, jnp.asarray(srcs), jnp.asarray(fakes))
+        print(f"flow_consistency_epe: {score:.4f}")
 
 
 def run_eval(cfg, allow_random_metrics: bool = False) -> None:
@@ -223,7 +304,7 @@ def main(argv=None) -> None:
     if args.mode == "train":
         run_train(cfg, args.use_wandb)
     elif args.mode == "sample":
-        run_sample(cfg, args.num_sample_batches)
+        run_sample(cfg, args.num_sample_batches, video=args.video)
     elif args.mode == "align":
         run_align(cfg, args.inp_dir, args.out_dir)
     else:

@@ -312,5 +312,11 @@ def lens_apply(
         psf_out = psf * consts.mask_keep
 
     sensor = fft_conv2d_linear(img, psf_out)
-    sensor = sensor / jnp.max(sensor)  # global max over the batch, as reference
+    # Global max over the whole batch, as the reference (Lens.py:312).
+    # Shard-safe by construction: under jit+GSPMD a reduction over a
+    # batch-sharded array is a GLOBAL reduce (XLA inserts the collective),
+    # so 1-device and N-device runs normalize identically — asserted by
+    # tests/test_lens_sharding.py.  (Only a hand-written shard_map/pmap
+    # wrapper would see a per-shard max; don't wrap this in one.)
+    sensor = sensor / jnp.max(sensor)
     return LensResult(sensor=sensor, psf=psf_out, coeffs=coeffs, psf_loss=psf_loss)

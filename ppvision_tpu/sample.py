@@ -26,6 +26,9 @@ __all__ = [
     "save_image_grid",
     "write_video",
     "dice_coefficient_batch",
+    "get_alphas",
+    "video_ref",
+    "video_latent",
 ]
 
 
@@ -149,6 +152,152 @@ def write_video(frames: np.ndarray, path: str, fps: int = 24) -> bool:
         return proc.returncode == 0
     except FileNotFoundError:
         return False
+
+
+def get_alphas(start=-5.0, end=5.0, step=0.5, len_tail=10) -> np.ndarray:
+    """Sigmoid-eased interpolation schedule (reference utils.py:263-264)."""
+    mid = 1.0 / (1.0 + np.exp(-np.arange(start, end, step)))
+    return np.concatenate([[0.0], mid, np.ones(len_tail)]).astype(np.float32)
+
+
+def _interpolate_frames(bundle, params, x_priv, masks, s_prev, s_next, alphas):
+    """All interpolation frames in ONE generator call: styles for every
+    alpha ride the batch axis ((T*B) batch), instead of the reference's
+    per-alpha python loop (utils.py:267-283) — T=31 frames per segment
+    become a single MXU-saturating jitted call."""
+    b = x_priv.shape[0]
+    t = alphas.shape[0]
+    a = jnp.asarray(alphas)[:, None, None]  # (T,1,1)
+    styles = (s_prev[None] + a * (s_next[None] - s_prev[None])).reshape(t * b, -1)
+    xs = jnp.tile(x_priv, (t, 1, 1, 1))
+    ms = tuple(jnp.tile(m, (t, 1, 1, 1)) for m in masks) if masks is not None else None
+    fakes = bundle.models["generator"].apply(
+        {"params": params.generator}, xs, styles, ms
+    )
+    fakes = fakes.reshape(t, b, *fakes.shape[1:])
+    # Per-frame min-max normalize (utils.py:278).
+    lo = jnp.min(fakes, axis=(1, 2, 3, 4), keepdims=True)
+    hi = jnp.max(fakes, axis=(1, 2, 3, 4), keepdims=True)
+    return (fakes - lo) / (hi - lo + 1e-8)
+
+
+def _slide_canvas(x_prev: np.ndarray, x_next: np.ndarray, alphas, margin=32):
+    """Sliding reference window (reference utils.py:287-308): the next
+    ref slides up over the previous one; (T, 2H, W+margin, 3)."""
+    h, w, _ = x_prev.shape[1:]
+    merged = np.concatenate([np.asarray(x_prev[0]), np.asarray(x_next[0])], axis=0)
+    t = len(alphas)
+    canvas = np.zeros((t, 2 * h, w + margin, 3), np.float32)
+    for ti, alpha in enumerate(alphas):
+        top = int(h * (1.0 - alpha))
+        canvas[ti, top : 2 * h, :w] = merged[: 2 * h - top]
+    return canvas
+
+
+def _grid_rows(x_src: np.ndarray, fakes: np.ndarray) -> np.ndarray:
+    """(T,B,H,W,3) fakes + (B,H,W,3) src -> (T, 2H, B*W, 3): source row
+    above fake row (reference's make_grid of cat([src, fake], dim=2))."""
+    t, b, h, w, c = fakes.shape
+    src_row = np.concatenate(list(np.asarray(x_src)), axis=1)  # (H, B*W, 3)
+    out = np.empty((t, 2 * h, b * w, c), np.float32)
+    out[:, :h] = src_row[None]
+    out[:, h:] = fakes.transpose(0, 2, 1, 3, 4).reshape(t, h, b * w, c)
+    return out
+
+
+def video_ref(
+    bundle: DeIdBundle,
+    params: DeIdParams,
+    x_src: jnp.ndarray,
+    x_ref: jnp.ndarray,
+    y_ref: jnp.ndarray,
+    fname: str,
+    fps: int = 15,
+) -> np.ndarray:
+    """Reference-interpolation de-id video (reference utils.py:310-341):
+    the camera privatizes ``x_src`` once; for every consecutive
+    same-domain pair of reference faces, styles are sigmoid-interpolated
+    and anonymized frames rendered with a slide panel of the two refs.
+
+    Returns the (T, H, W, 3) frame array; also writes ``fname`` when
+    ffmpeg exists.
+    """
+    from .deid import _privacy_front
+
+    x_priv, masks = jax.jit(lambda p, x: _privacy_front(bundle, p, x))(params, x_src)
+    s_ref = bundle.models["style_encoder"].apply(
+        {"params": params.style_encoder}, x_ref, y_ref
+    )
+    alphas = get_alphas()
+    interp = jax.jit(
+        lambda p, sp, sn: _interpolate_frames(
+            bundle, p, x_priv, masks, sp, sn, alphas
+        )
+    )
+    segments = []
+    prev = None
+    for r in range(x_ref.shape[0]):
+        cur = (x_ref[r : r + 1], int(y_ref[r]), s_ref[r : r + 1])
+        if prev is None or prev[1] != cur[1]:
+            prev = cur
+            continue
+        fakes = np.asarray(interp(params, prev[2], cur[2]))
+        rows = _grid_rows(np.asarray(x_src), fakes)
+        slided = _slide_canvas(np.asarray(prev[0]), np.asarray(cur[0]), alphas)
+        segments.append(np.concatenate([slided, rows], axis=2))
+        prev = cur
+    if not segments:
+        raise ValueError("need >= 2 reference images of the same domain")
+    segments.append(np.repeat(segments[-1][-1:], 10, axis=0))
+    video = np.concatenate(segments)
+    write_video(video, fname, fps=fps)
+    return video
+
+
+def video_latent(
+    bundle: DeIdBundle,
+    params: DeIdParams,
+    x_src: jnp.ndarray,
+    y_list: list[int],
+    z_list: list[jnp.ndarray],
+    psi: float,
+    fname: str,
+    fps: int = 15,
+) -> np.ndarray:
+    """Latent-interpolation video with psi truncation (utils.py:344-374)."""
+    s_list = []
+    for y in y_list:
+        s_avg = mean_style(bundle, params, y)
+        for z in z_list:
+            ys = jnp.full((z.shape[0],), y, jnp.int32)
+            s = bundle.models["mapping_network"].apply(
+                {"params": params.mapping_network}, z, ys
+            )
+            s_list.append(s_avg + psi * (s - s_avg))
+    from .deid import _privacy_front
+
+    x_priv, masks = jax.jit(lambda p, x: _privacy_front(bundle, p, x))(params, x_src)
+    alphas = get_alphas()
+    interp = jax.jit(
+        lambda p, sp, sn: _interpolate_frames(
+            bundle, p, x_priv, masks, sp, sn, alphas
+        )
+    )
+    segments = []
+    s_prev = None
+    for idx, s_next in enumerate(s_list):
+        if s_prev is None or idx % len(z_list) == 0:
+            s_prev = s_next
+            continue
+        fakes = np.asarray(interp(params, s_prev, s_next))
+        segments.append(_grid_rows(np.asarray(x_src), fakes))
+        s_prev = s_next
+    if not segments:
+        raise ValueError("need >= 2 latent codes per domain")
+    segments.append(np.repeat(segments[-1][-1:], 10, axis=0))
+    video = np.concatenate(segments)
+    write_video(video, fname, fps=fps)
+    return video
 
 
 def dice_coefficient_batch(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-7):

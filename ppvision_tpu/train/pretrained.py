@@ -150,11 +150,16 @@ def build_aux_losses(
             )
         else:
             warn_random_init("RAFT (raft-things.pth)", cfg.paths.raft_path)
+        # Pyramid depth must fit the 1/8-res feature map (reference
+        # trains at 256^2 where 4 levels fit; tiny test images need less).
+        fmap = max(cfg.model.img_size // 8, 1)
+        corr_levels = max(1, min(4, int(np.log2(fmap)) + 1))
         flow_fn, _ = build_flow_fn(
             params=params,
             key=jax.random.fold_in(key, 4),
             iters=cfg.train.flow_iters,
             image_size=cfg.model.img_size,
+            corr_levels=corr_levels,
         )
     return lpips_fn, flow_fn
 

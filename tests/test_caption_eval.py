@@ -33,6 +33,7 @@ def small_stack():
     return cfg, enc, dec, enc_vars, dec_params
 
 
+@pytest.mark.slow
 def test_validate_teacher_forced(small_stack):
     from ppvision_tpu.metrics.val_caption import validate_teacher_forced
 
@@ -53,6 +54,7 @@ def test_validate_teacher_forced(small_stack):
     assert np.isfinite(res["loss"]) and 0 <= res["bleu4"] <= 1
 
 
+@pytest.mark.slow
 def test_caption_image_with_attention(small_stack, tmp_path):
     from ppvision_tpu.cli.caption_image import (
         caption_image_with_attention,

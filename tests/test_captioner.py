@@ -30,6 +30,7 @@ def test_adaptive_avg_pool_matches_torch_semantics():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_encoder_shape_small():
     enc = CaptionEncoder(encoded_image_size=9, stage_sizes=(1, 1, 1, 1))
     x = jnp.zeros((1, 64, 64, 3))
@@ -50,6 +51,7 @@ def decoder_setup():
     return dec, params, enc, caps, lens
 
 
+@pytest.mark.slow
 def test_decoder_shapes_and_masking(decoder_setup):
     dec, params, enc, caps, lens = decoder_setup
     out = dec.apply({"params": params}, enc, caps, lens)
@@ -63,6 +65,7 @@ def test_decoder_shapes_and_masking(decoder_setup):
     assert np.abs(np.asarray(out.predictions[0, :11])).max() > 0
 
 
+@pytest.mark.slow
 def test_masking_equals_truncated_batch(decoder_setup):
     """A short caption decoded in a batch must match decoding it alone."""
     dec, params, enc, caps, lens = decoder_setup
@@ -77,6 +80,7 @@ def test_masking_equals_truncated_batch(decoder_setup):
     )
 
 
+@pytest.mark.slow
 def test_caption_loss_finite_and_grad(decoder_setup):
     dec, params, enc, caps, lens = decoder_setup
 
@@ -92,6 +96,7 @@ def test_caption_loss_finite_and_grad(decoder_setup):
     )
 
 
+@pytest.mark.slow
 def test_beam_search_runs_and_prefers_end(decoder_setup):
     dec, params, enc, _, _ = decoder_setup
     tokens, score = beam_search(

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ppvision_tpu.utils.checkpoint import (
     StepCheckpoints,
@@ -11,6 +12,7 @@ from ppvision_tpu.utils.checkpoint import (
 )
 
 
+@pytest.mark.slow
 def test_roundtrip(tmp_path):
     tree = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 3))}}
     p = str(tmp_path / "ck")

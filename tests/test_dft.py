@@ -61,6 +61,7 @@ def test_fft1_split_matches_numpy(impl, monkeypatch):
     np.testing.assert_allclose(np.asarray(br), re, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_forced_dft_camera_matches_fft_path(monkeypatch):
     """The camera must produce the same image through either transform."""
     import jax

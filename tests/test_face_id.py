@@ -59,6 +59,7 @@ def _synthetic_iresnet_sd(layers=LAYERS, rng=None):
     return sd
 
 
+@pytest.mark.slow
 def test_importer_matches_init_structure():
     model = IResNet(layers=LAYERS)
     ref = model.init(jax.random.key(0), jnp.zeros((1, 112, 112, 3)))["params"]
@@ -72,6 +73,7 @@ def test_importer_matches_init_structure():
         assert rv.shape == cv.shape, rp
 
 
+@pytest.mark.slow
 def test_embedding_unit_norm_and_cosine():
     model = IResNet(layers=LAYERS)
     params = arcface_variables_from_torch(_synthetic_iresnet_sd(), layers=LAYERS)
@@ -87,6 +89,7 @@ def test_embedding_unit_norm_and_cosine():
     assert float(face_id_cosine(embed, x, y)) < 1.0
 
 
+@pytest.mark.slow
 def test_fc_permutation_is_channel_consistent():
     """The fc importer must map torch's (C,H,W) flatten onto our (H,W,C)
     flatten: embedding of a torch-ordered identity probe must match."""

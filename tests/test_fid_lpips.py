@@ -43,6 +43,7 @@ def test_inception_forward_shape():
     assert 20e6 < n < 25e6, n
 
 
+@pytest.mark.slow
 def test_lpips_properties():
     model = LPIPS()
     x = jax.random.uniform(jax.random.key(0), (2, 64, 64, 3))

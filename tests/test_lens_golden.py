@@ -114,6 +114,7 @@ def test_lens_mask_modes(pair):
     np.testing.assert_allclose(np.asarray(res_1.psf), np.asarray(res_none.psf))
 
 
+@pytest.mark.slow
 def test_defocus_gradient_only():
     spec = plens.LensSpec(zernike_terms=16, wave_res=64, patch_size=32)
     consts = plens.make_lens_constants(spec)

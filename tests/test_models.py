@@ -21,6 +21,7 @@ def keys():
     return jax.random.split(jax.random.key(0), 8)
 
 
+@pytest.mark.slow
 def test_generator_shapes(keys):
     g = Generator(img_size=IMG, style_dim=64, w_hpf=1.0)
     x = jnp.zeros((2, IMG, IMG, 3))
@@ -34,6 +35,7 @@ def test_generator_shapes(keys):
     assert y2.shape == (2, IMG, IMG, 3)
 
 
+@pytest.mark.slow
 def test_generator_whpf0_uses_shortcuts(keys):
     g = Generator(img_size=64, style_dim=16, w_hpf=0.0)
     x = jnp.ones((1, 64, 64, 3))
@@ -42,6 +44,7 @@ def test_generator_whpf0_uses_shortcuts(keys):
     assert np.isfinite(np.asarray(g.apply(params, x, s, None))).all()
 
 
+@pytest.mark.slow
 def test_mapping_and_style_select_domain(keys):
     m = MappingNetwork(latent_dim=16, style_dim=64, num_domains=3)
     z = jax.random.normal(keys[2], (4, 16))
@@ -62,6 +65,7 @@ def test_mapping_and_style_select_domain(keys):
     assert se.shape == (2, 64)
 
 
+@pytest.mark.slow
 def test_discriminator_logits(keys):
     d = Discriminator(img_size=IMG, num_domains=2)
     x = jax.random.normal(keys[6], (2, IMG, IMG, 3))
@@ -78,6 +82,7 @@ def test_discriminator_logits(keys):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+@pytest.mark.slow
 def test_fan_forward_and_heatmaps():
     f = fan_mod.FAN()
     x = jnp.zeros((1, 256, 256, 3))

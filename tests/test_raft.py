@@ -29,6 +29,7 @@ def test_bilinear_sampler_matches_manual():
     np.testing.assert_array_equal(np.asarray(oob), 0.0)
 
 
+@pytest.mark.slow
 def test_local_corr_xla_matches_allpairs_lookup():
     """At pyramid level 0 the on-demand local correlation must equal the
     all-pairs-volume lookup (the two reference CorrBlocks agree there)."""
@@ -52,6 +53,7 @@ def test_local_corr_xla_matches_allpairs_lookup():
     np.testing.assert_allclose(got_t, want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_local_corr_pallas_matches_xla_interpret():
     rng = np.random.default_rng(2)
     b, h, w, c = 1, 4, 8, 16
@@ -71,6 +73,7 @@ def test_local_corr_pallas_matches_xla_interpret():
     np.testing.assert_array_equal(np.asarray(local_corr_xla(f1, f2, far, 3)), 0.0)
 
 
+@pytest.mark.slow
 def test_alternate_corr_lookup_shape():
     b, h, w, c = 1, 8, 8, 16
     f1 = jnp.ones((b, h, w, c))

@@ -34,6 +34,7 @@ def _np(x):
     return x.detach().numpy()
 
 
+@pytest.mark.slow
 def test_mapping_network_parity(ref_models):
     ref_model, _ = ref_models
     tm = ref_model.MappingNetwork(latent_dim=16, style_dim=64, num_domains=3).eval()
@@ -50,6 +51,7 @@ def test_mapping_network_parity(ref_models):
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_style_encoder_and_discriminator_parity(ref_models):
     ref_model, _ = ref_models
     rng = np.random.default_rng(1)
@@ -78,6 +80,7 @@ def test_style_encoder_and_discriminator_parity(ref_models):
     np.testing.assert_allclose(np.asarray(got_d), want_d, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_generator_parity(ref_models):
     ref_model, _ = ref_models
     tg = ref_model.Generator(img_size=IMG, style_dim=16, w_hpf=1).eval()

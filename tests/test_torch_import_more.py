@@ -104,6 +104,7 @@ def test_resnet_converter_structural():
     assert out.shape == (1, 4, 4, 2048)
 
 
+@pytest.mark.slow
 def test_lpips_converter_structural():
     rng = np.random.default_rng(2)
     alex_sd = {}

@@ -72,6 +72,7 @@ def test_caption_train_step(setup):
     assert delta(new_state.encoder["batch_stats"], state.encoder["batch_stats"]) > 0
 
 
+@pytest.mark.slow
 def test_encoder_mask_structure(setup):
     cfg, state, step, batch = setup
     mask = _encoder_trainable_mask(state.encoder["params"], 1)
