@@ -61,21 +61,22 @@ def main():
         )
     )
 
-    full = jax.jit(lambda: jnp.sum(deid_from_reference(bundle, p, x_src, x_ref, y_ref)))
+    full = jax.jit(
+        lambda xs, xr, yr: jnp.sum(deid_from_reference(bundle, p, xs, xr, yr))
+    )
 
-    out = {
-        "batch": BATCH,
-        "backend": jax.devices()[0].platform,
-        "camera_s": timeit(cam, x_src),
-        "fan_priv_s": timeit(fanf, x_priv),
-        "style_encoder_s": timeit(senc, x_ref),
-        "generator_s": timeit(gen, x_priv, s_ref, masks),
-        "full_s": timeit(full),
-    }
-    out["full_img_s"] = round(BATCH / out["full_s"], 1)
-    for k in list(out):
-        if k.endswith("_s") and k != "full_img_s":
-            out[k] = round(out[k] * 1e3, 2)  # ms
+    out = {"batch": BATCH, "backend": jax.devices()[0].platform}
+
+    def record(name, fn, *args):
+        out[name] = round(timeit(fn, *args) * 1e3, 2)  # ms
+        print(name, out[name], flush=True)
+
+    record("camera_ms", cam, x_src)
+    record("fan_priv_ms", fanf, x_priv)
+    record("style_encoder_ms", senc, x_ref)
+    record("generator_ms", gen, x_priv, s_ref, masks)
+    record("full_ms", full, x_src, x_ref, y_ref)
+    out["full_img_s"] = round(BATCH / (out["full_ms"] / 1e3), 1)
     print(json.dumps(out))
 
 

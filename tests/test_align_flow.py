@@ -1,5 +1,7 @@
 """Aligner landmark extraction (golden vs reference) + flow aux tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -93,3 +95,81 @@ def test_mesh_helpers():
     placed = shard_batch(mesh, batch)
     assert placed["x"].sharding.spec == jax.sharding.PartitionSpec("data")
     assert placed["y"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_pfm_roundtrip(tmp_path):
+    from ppvision_tpu.data.flow import read_pfm, write_pfm
+
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((12, 9, 3)).astype(np.float32)
+    p = str(tmp_path / "x.pfm")
+    write_pfm(p, img)
+    np.testing.assert_allclose(read_pfm(p), img, rtol=1e-7)
+    gray = rng.standard_normal((7, 5)).astype(np.float32)
+    write_pfm(p, gray)
+    np.testing.assert_allclose(read_pfm(p), gray, rtol=1e-7)
+
+
+def test_named_flow_datasets(tmp_path):
+    """Sintel/KITTI layout indexing + sample loading (datasets.py:102-177)."""
+    from PIL import Image
+
+    from ppvision_tpu.data.flow import KITTI, MpiSintel, write_flo, write_flow_kitti
+
+    rng = np.random.default_rng(1)
+
+    def png(path, h=16, w=16):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(path)
+
+    # Sintel: training/clean/sceneA/frame_{1,2,3}.png + flow .flo
+    root = str(tmp_path / "Sintel")
+    for i in range(3):
+        png(f"{root}/training/clean/sceneA/frame_{i:04d}.png")
+    for i in range(2):
+        os.makedirs(f"{root}/training/flow/sceneA", exist_ok=True)
+        write_flo(
+            f"{root}/training/flow/sceneA/frame_{i:04d}.flo",
+            rng.standard_normal((16, 16, 2)).astype(np.float32),
+        )
+    ds = MpiSintel(root=root, split="training", dstype="clean")
+    assert len(ds) == 2
+    img1, img2, flow, valid = ds[0]
+    assert img1.shape == (16, 16, 3) and flow.shape == (16, 16, 2)
+    assert valid.min() >= 0 and valid.max() <= 1
+
+    # KITTI: image_2/*_10.png/_11.png + flow_occ 16-bit png, sparse.
+    kroot = str(tmp_path / "KITTI")
+    png(f"{kroot}/training/image_2/000000_10.png")
+    png(f"{kroot}/training/image_2/000000_11.png")
+    os.makedirs(f"{kroot}/training/flow_occ", exist_ok=True)
+    write_flow_kitti(
+        f"{kroot}/training/flow_occ/000000_10.png",
+        rng.uniform(-10, 10, (16, 16, 2)).astype(np.float32),
+        valid=np.ones((16, 16)),
+    )
+    kds = KITTI(root=kroot, split="training")
+    assert len(kds) == 1 and kds.sparse
+    img1, img2, flow, valid = kds[0]
+    assert flow.shape == (16, 16, 2) and valid.shape == (16, 16)
+
+    # dataset algebra as the reference mixes stages (datasets.py:219)
+    mixed = 3 * kds + ds
+    assert len(mixed) == 5
+
+
+def test_eraser_augmentation_occludes_img2():
+    from ppvision_tpu.data.flow import FlowAugmentor
+
+    aug = FlowAugmentor((16, 16), seed=3)
+    rng = np.random.default_rng(0)
+    img1 = rng.uniform(0, 255, (64, 64, 3)).astype(np.float32)
+    img2 = rng.uniform(0, 255, (64, 64, 3)).astype(np.float32)
+    # Run the eraser alone many times; at least one run must modify img2
+    # (p=0.5) and img1 must never change.
+    changed = False
+    for _ in range(10):
+        o1, o2 = aug._eraser(img1, img2)
+        assert o1 is img1
+        changed = changed or not np.array_equal(o2, img2)
+    assert changed
