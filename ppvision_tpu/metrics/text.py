@@ -45,18 +45,38 @@ class _EmptyWordnet:
         return []
 
 
+_warned_no_wordnet = False
+
+
 def meteor_avg(references: list[list[Tokens]], hypotheses: list[Tokens]) -> float:
     """Mean nltk METEOR over images (reference utils.py:502-508).
 
-    Falls back to exact+stem matching (no synonym stage) when the
-    wordnet corpus is not installed.
+    Delegates to nltk's ``meteor_score`` (identical to the reference's
+    call by construction).  When the wordnet corpus is not installed it
+    falls back to exact+stem matching only — the synonym stage is
+    skipped, so values are NOT comparable to wordnet METEOR; a loud
+    one-time warning is printed (VERDICT r1 weak #6).
     """
+    import sys
+
     from nltk.translate.meteor_score import meteor_score
 
+    global _warned_no_wordnet
+
     def score(refs, hyp):
+        global _warned_no_wordnet
         try:
             return meteor_score(refs, hyp)
         except LookupError:
+            if not _warned_no_wordnet:
+                print(
+                    "WARNING: nltk wordnet corpus not installed — METEOR "
+                    "runs WITHOUT the synonym stage (exact+stem only); "
+                    "scores are not comparable to published wordnet METEOR. "
+                    "Install with: python -m nltk.downloader wordnet",
+                    file=sys.stderr,
+                )
+                _warned_no_wordnet = True
             return meteor_score(refs, hyp, wordnet=_EmptyWordnet())
 
     scores = [score(refs, hyp) for refs, hyp in zip(references, hypotheses)]

@@ -81,3 +81,64 @@ def test_bleu_meteor_rouge_sanity():
     # Disjoint -> 0.
     junk = [["xyzzy", "qwerty"]] * len(refs)
     assert rouge_lsum(refs, junk) == 0.0
+
+
+def test_meteor_wordnetless_fallback_is_loud(capsys):
+    """Without the wordnet corpus, METEOR must still compute (exact+stem
+    stages) and WARN loudly that the synonym stage is skipped."""
+    import ppvision_tpu.metrics.text as T
+
+    T._warned_no_wordnet = False
+    # An unmatched word forces the wordnet synonym stage to actually run.
+    refs = [[["a", "dog", "runs"]]]
+    hyps = [["a", "hound", "runs"]]
+    val = T.meteor_avg(refs, hyps)
+    from nltk.translate.meteor_score import meteor_score
+
+    expect = meteor_score(refs[0], hyps[0], wordnet=T._EmptyWordnet())
+    assert val == pytest.approx(expect, abs=1e-9)
+    err = capsys.readouterr().err
+    try:
+        from nltk.corpus import wordnet
+
+        wordnet.synsets("dog")
+        has_wordnet = True
+    except LookupError:
+        has_wordnet = False
+    if not has_wordnet:
+        assert "WITHOUT the synonym stage" in err
+
+
+def test_meteor_synonym_stage_with_fake_wordnet():
+    """With a working wordnet, synonyms score higher than the
+    wordnet-less fallback — pins that our delegation passes the corpus
+    through to nltk (parity harness for envs that have the data)."""
+    from nltk.translate.meteor_score import meteor_score
+
+    class FakeLemma:
+        def __init__(self, n):
+            self._n = n
+
+        def name(self):
+            return self._n
+
+    class FakeSyn:
+        def __init__(self, names):
+            self._l = [FakeLemma(n) for n in names]
+
+        def lemmas(self):
+            return self._l
+
+    class FakeWordnet:
+        def synsets(self, word):
+            if word in ("dog", "hound"):
+                return [FakeSyn(["dog", "hound"])]
+            return []
+
+    refs = [["a", "dog", "runs"]]
+    hyp = ["a", "hound", "runs"]
+    with_syn = meteor_score(refs, hyp, wordnet=FakeWordnet())
+    import ppvision_tpu.metrics.text as T
+
+    without = meteor_score(refs, hyp, wordnet=T._EmptyWordnet())
+    assert with_syn > without
