@@ -56,10 +56,14 @@ class StepTimer:
 
 
 class MetricWriter:
-    """Console + JSONL metric writer with optional wandb passthrough.
+    """Console + JSONL metric writer with optional wandb / tensorboard
+    passthrough (the reference uses wandb in the GAN solver and
+    tensorboard in eval/val.py:10,40).
 
     Scalars only go out every ``log_interval`` steps (the reference's
-    rank-0 + interval gating, Camera/Utils.py:15-20).
+    rank-0 + interval gating, Camera/Utils.py:15-20).  ``write_image``
+    mirrors the comet-style ``attach_summaries`` image logging
+    (Image_Caption/Camera/Utils.py:25-63).
     """
 
     def __init__(
@@ -68,6 +72,7 @@ class MetricWriter:
         use_wandb: bool = False,
         log_interval: int = 10,
         prefix: str = "",
+        use_tensorboard: bool = False,
     ):
         self.log_interval = log_interval
         self.prefix = prefix
@@ -83,6 +88,14 @@ class MetricWriter:
                 self._wandb = wandb
             except ImportError:
                 print("wandb requested but not installed; console/jsonl only")
+        self._tb = None
+        if use_tensorboard and log_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+            except ImportError:
+                print("tensorboard requested but not installed; console/jsonl only")
         self._start = time.time()
 
     def write(self, step: int, metrics: dict[str, Any], force: bool = False):
@@ -96,10 +109,25 @@ class MetricWriter:
             self._jsonl.write(json.dumps({"step": step, **scalars}) + "\n")
         if self._wandb:
             self._wandb.log(scalars, step=step)
+        if self._tb:
+            for k, v in scalars.items():
+                self._tb.add_scalar(self.prefix + k, v, step)
+
+    def write_image(self, step: int, name: str, image) -> None:
+        """Log an (H, W, C) [0,1] image to wandb/tensorboard if active."""
+        import numpy as np
+
+        arr = np.clip(np.asarray(image, np.float32), 0.0, 1.0)
+        if self._wandb:
+            self._wandb.log({name: self._wandb.Image(arr)}, step=step)
+        if self._tb:
+            self._tb.add_image(name, arr, step, dataformats="HWC")
 
     def close(self):
         if self._jsonl:
             self._jsonl.close()
+        if self._tb:
+            self._tb.close()
 
 
 @contextlib.contextmanager
