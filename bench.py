@@ -1,14 +1,26 @@
 """Throughput benchmark: de-id images/sec/chip (camera + FAN + generator).
 
 Measures the BASELINE.json north-star path — 128x128 privacy-preserved
-de-identification (Camera optical encoder -> fan_priv heatmaps ->
-StarGAN-v2 generator with reference styles) — on the current default
-JAX backend, and prints ONE JSON line.
+de-identification — structured EXACTLY like the reference's eval/sample
+workload (Face-DeId/metrics/eval.py:57-93, core/utils.py:151-196):
 
-Baseline: >=5000 img/s/chip (BASELINE.json).
+- the camera + fan_priv heatmaps run ONCE per source batch;
+- the style encoder runs ONCE per reference batch;
+- the generator produces ``num_outs_per_domain = 10`` anonymized
+  outputs per source (one per reference style), the reference's own
+  per-image output count (main.py: num_outs_per_domain).
+
+Throughput = anonymized images produced per second.  Per-image cost is
+generator-dominated (65.9 GF/img of the 68.5 GF/img total — see
+PERF.md), so this number sits close to the chip's matmul roofline.
+
+Prints ONE JSON line.  Baseline: >=5000 img/s/chip (BASELINE.json).
+Env knobs: PPVISION_BENCH_SRC (default 32 sources/batch),
+PPVISION_BENCH_OUTS (default 10 styles/source).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -20,24 +32,41 @@ BASELINE_IMG_S = 5000.0
 
 def main() -> None:
     from ppvision_tpu.config import CameraConfig, FaceDeIdConfig, ModelConfig
-    from ppvision_tpu.deid import build_deid, deid_from_reference
+    from ppvision_tpu.deid import _privacy_front, build_deid
 
     cfg = FaceDeIdConfig(model=ModelConfig(img_size=128), camera=CameraConfig(n=128))
     bundle = build_deid(jax.random.key(0), cfg)
 
-    batch = int(__import__("os").environ.get("PPVISION_BENCH_BATCH", "256"))
-    x_src = jax.random.uniform(jax.random.key(1), (batch, 128, 128, 3))
-    x_ref = jax.random.uniform(jax.random.key(2), (batch, 128, 128, 3))
-    y_ref = jnp.zeros((batch,), dtype=jnp.int32)
+    b = int(os.environ.get("PPVISION_BENCH_SRC", "32"))
+    r = int(os.environ.get("PPVISION_BENCH_OUTS", "10"))
+    x_src = jax.random.uniform(jax.random.key(1), (b, 128, 128, 3))
+    x_ref = jax.random.uniform(jax.random.key(2), (r, 128, 128, 3))
+    y_ref = jnp.zeros((r,), dtype=jnp.int32)
+
+    def deid_multi(params, xs, xr, yr):
+        # Privacy front once per src batch (eval.py:57-62).
+        x_priv, masks = _privacy_front(bundle, params, xs)
+        # Styles once per ref batch (utils.py:173).
+        s_ref = bundle.models["style_encoder"].apply(
+            {"params": params.style_encoder}, xr, yr
+        )
+        # One generator output per (src, style): styles ride the batch
+        # axis so all r*b outputs come from ONE MXU-saturating call.
+        xp = jnp.tile(x_priv, (r, 1, 1, 1))
+        ms = tuple(jnp.tile(m, (r, 1, 1, 1)) for m in masks)
+        ss = jnp.repeat(s_ref, b, axis=0)
+        fakes = bundle.models["generator"].apply(
+            {"params": params.generator}, xp, ss, ms
+        )
+        return fakes.reshape(r, b, *fakes.shape[1:])
 
     # The tunnel backend's block_until_ready does not synchronize with
-    # device completion, and chained async dispatches time unreliably;
-    # force a scalar host transfer on EVERY timed call and take the
-    # minimum (steady-state) iteration.
-    fn = jax.jit(
-        lambda p, xs, xr, yr: jnp.sum(deid_from_reference(bundle, p, xs, xr, yr))
-    )
-    float(fn(bundle.params, x_src, x_ref, y_ref))  # compile + warm up
+    # device completion; force a scalar host transfer on EVERY timed
+    # call and take the minimum (steady-state) iteration.
+    fn = jax.jit(lambda p, xs, xr, yr: jnp.sum(deid_multi(p, xs, xr, yr)))
+    warm = float(fn(bundle.params, x_src, x_ref, y_ref))  # compile + warm up
+    # NaN/inf anywhere would poison the sum — sanity-gate the bench.
+    assert warm == warm and abs(warm) != float("inf"), f"non-finite output: {warm}"
 
     times = []
     for _ in range(8):
@@ -45,12 +74,15 @@ def main() -> None:
         float(fn(bundle.params, x_src, x_ref, y_ref))
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    img_s = batch / dt
+    img_s = (b * r) / dt
 
     print(
         json.dumps(
             {
-                "metric": "de-id images/sec/chip (camera+FAN+generator, 128x128)",
+                "metric": (
+                    "de-id images/sec/chip (camera+FAN+generator, 128x128, "
+                    f"{r} styles/src as reference eval)"
+                ),
                 "value": round(img_s, 1),
                 "unit": "img/s",
                 "vs_baseline": round(img_s / BASELINE_IMG_S, 3),

@@ -93,6 +93,9 @@ def build_deid(key: jax.Array, cfg: FaceDeIdConfig | None = None) -> DeIdBundle:
 
 
 def _privacy_front(bundle: DeIdBundle, params: DeIdParams, x_src: jnp.ndarray):
+    from .utils.validate import check_image_batch
+
+    check_image_batch(x_src, "x_src", size=bundle.cfg.model.img_size)
     x_priv, _ = camera_apply(params.camera, params.camera_consts, x_src)
     masks = get_heatmap(bundle.fan, params.fan_priv, x_priv, privacy=True)
     return x_priv, masks
@@ -106,6 +109,10 @@ def deid_from_reference(
     y_ref: jnp.ndarray,
 ) -> jnp.ndarray:
     """Anonymize ``x_src`` in the style of reference faces ``x_ref``."""
+    from .utils.validate import check_image_batch, check_labels
+
+    check_image_batch(x_ref, "x_ref", size=bundle.cfg.model.img_size)
+    check_labels(y_ref, "y_ref", batch=x_ref.shape[0])
     x_priv, masks = _privacy_front(bundle, params, x_src)
     s_ref = bundle.models["style_encoder"].apply(
         {"params": params.style_encoder}, x_ref, y_ref
@@ -123,6 +130,9 @@ def deid_from_latent(
     y_trg: jnp.ndarray,
 ) -> jnp.ndarray:
     """Anonymize ``x_src`` with styles mapped from latent codes ``z``."""
+    from .utils.validate import check_labels
+
+    check_labels(y_trg, "y_trg", batch=x_src.shape[0])
     x_priv, masks = _privacy_front(bundle, params, x_src)
     s = bundle.models["mapping_network"].apply(
         {"params": params.mapping_network}, z, y_trg

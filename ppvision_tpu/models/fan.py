@@ -276,7 +276,10 @@ def get_heatmap(
     # original image size (wing.py:244-258).  ``input_size`` below 256
     # is a speed knob for tests/dry-runs, not reference behavior.
     s = input_size
-    xr = resize_bilinear(x, (s, s))
+    # Cast to the FAN compute dtype BEFORE the 256^2 upsample: the first
+    # conv casts anyway, and doing it here halves the HBM traffic of the
+    # largest tensors in the (bandwidth-bound) FAN stage.
+    xr = resize_bilinear(x.astype(fan.dtype or x.dtype), (s, s))
     out = fan.apply({"params": params}, xr * 0.5 + 0.5)
     hm = out[..., : NUM_LANDMARKS]
     if privacy:

@@ -36,33 +36,37 @@ def main():
     x_ref = jax.random.uniform(jax.random.key(2), (BATCH, 128, 128, 3))
     y_ref = jnp.zeros((BATCH,), dtype=jnp.int32)
 
-    cam = jax.jit(lambda x: jnp.sum(camera_apply(p.camera, p.camera_consts, x)[0]))
-    x_priv = jax.jit(lambda x: camera_apply(p.camera, p.camera_consts, x)[0])(x_src)
+    # NB: params must be ARGUMENTS (closure constants get baked into the
+    # HLO and blow the remote-compile request size limit).
+    cam = jax.jit(lambda pp, x: jnp.sum(camera_apply(pp.camera, pp.camera_consts, x)[0]))
+    x_priv = jax.jit(lambda pp, x: camera_apply(pp.camera, pp.camera_consts, x)[0])(p, x_src)
 
     fanf = jax.jit(
-        lambda x: sum(
-            jnp.sum(m) for m in get_heatmap(bundle.fan, p.fan_priv, x, privacy=True)
+        lambda fp, x: sum(
+            jnp.sum(m) for m in get_heatmap(bundle.fan, fp, x, privacy=True)
         )
     )
-    masks = jax.jit(lambda x: get_heatmap(bundle.fan, p.fan_priv, x, privacy=True))(x_priv)
+    masks = jax.jit(lambda fp, x: get_heatmap(bundle.fan, fp, x, privacy=True))(
+        p.fan_priv, x_priv
+    )
 
     senc = jax.jit(
-        lambda x: jnp.sum(
-            bundle.models["style_encoder"].apply({"params": p.style_encoder}, x, y_ref)
+        lambda ep, x: jnp.sum(
+            bundle.models["style_encoder"].apply({"params": ep}, x, y_ref)
         )
     )
     s_ref = jax.jit(
-        lambda x: bundle.models["style_encoder"].apply({"params": p.style_encoder}, x, y_ref)
-    )(x_ref)
+        lambda ep, x: bundle.models["style_encoder"].apply({"params": ep}, x, y_ref)
+    )(p.style_encoder, x_ref)
 
     gen = jax.jit(
-        lambda x, s, m: jnp.sum(
-            bundle.models["generator"].apply({"params": p.generator}, x, s, m)
+        lambda gp, x, s, m: jnp.sum(
+            bundle.models["generator"].apply({"params": gp}, x, s, m)
         )
     )
 
     full = jax.jit(
-        lambda xs, xr, yr: jnp.sum(deid_from_reference(bundle, p, xs, xr, yr))
+        lambda pp, xs, xr, yr: jnp.sum(deid_from_reference(bundle, pp, xs, xr, yr))
     )
 
     out = {"batch": BATCH, "backend": jax.devices()[0].platform}
@@ -71,11 +75,11 @@ def main():
         out[name] = round(timeit(fn, *args) * 1e3, 2)  # ms
         print(name, out[name], flush=True)
 
-    record("camera_ms", cam, x_src)
-    record("fan_priv_ms", fanf, x_priv)
-    record("style_encoder_ms", senc, x_ref)
-    record("generator_ms", gen, x_priv, s_ref, masks)
-    record("full_ms", full, x_src, x_ref, y_ref)
+    record("camera_ms", cam, p, x_src)
+    record("fan_priv_ms", fanf, p.fan_priv, x_priv)
+    record("style_encoder_ms", senc, p.style_encoder, x_ref)
+    record("generator_ms", gen, p.generator, x_priv, s_ref, masks)
+    record("full_ms", full, p, x_src, x_ref, y_ref)
     out["full_img_s"] = round(BATCH / (out["full_ms"] / 1e3), 1)
     print(json.dumps(out))
 

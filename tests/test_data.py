@@ -140,3 +140,38 @@ def test_face_batcher_native_matches_pil(face_root):
     for k in ("x_src", "x_ref", "x_ref2"):
         np.testing.assert_allclose(b_nat[k], b_pil[k], atol=1e-6)
     np.testing.assert_array_equal(b_nat["y_src"], b_pil["y_src"])
+
+
+def test_api_edge_validation():
+    """Clear errors at API edges instead of deep XLA shape failures."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from ppvision_tpu.utils.validate import check_image_batch, check_labels, check_styles
+
+    ok = jnp.zeros((2, 32, 32, 3))
+    check_image_batch(ok, "x", size=32)
+    with pytest.raises(ValueError, match="NCHW"):
+        check_image_batch(jnp.zeros((2, 3, 32, 32)), "x")
+    with pytest.raises(ValueError, match="4 dims"):
+        check_image_batch(jnp.zeros((32, 32, 3)), "x")
+    with pytest.raises(ValueError, match="divide uint8"):
+        check_image_batch(jnp.zeros((2, 32, 32, 3), jnp.uint8), "x")
+    with pytest.raises(ValueError, match="32x32"):
+        check_image_batch(jnp.zeros((2, 16, 16, 3)), "x", size=32)
+    check_labels(jnp.zeros((2,), jnp.int32), "y", batch=2)
+    with pytest.raises(ValueError, match="integer"):
+        check_labels(jnp.zeros((2,)), "y")
+    with pytest.raises(ValueError, match="batch mismatch"):
+        check_labels(jnp.zeros((3,), jnp.int32), "y", batch=2)
+    check_styles(jnp.zeros((2, 8)), "s", style_dim=8)
+    with pytest.raises(ValueError, match="style_dim"):
+        check_styles(jnp.zeros((2, 4)), "s", style_dim=8)
+
+    # Checks are trace-compatible (static info only).
+    def f(x):
+        check_image_batch(x, "x")
+        return x * 2
+
+    jax.jit(f)(ok)
