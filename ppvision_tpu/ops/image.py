@@ -47,14 +47,22 @@ import os
 
 
 @functools.lru_cache(maxsize=64)
-def _resize_matrix(in_size: int, out_size: int, align_corners: bool) -> jnp.ndarray:
-    """Dense (out, in) bilinear interpolation matrix (2 nonzeros/row)."""
+def _resize_matrix_np(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """Dense (out, in) bilinear interpolation matrix (2 nonzeros/row).
+
+    Cached as NUMPY: a jnp constant created inside a jit trace is a
+    tracer, and caching one leaks it across traces.
+    """
     lo, hi, w = _bilinear_weights_np(in_size, out_size, align_corners)
     m = np.zeros((out_size, in_size), np.float32)
     rows = np.arange(out_size)
     np.add.at(m, (rows, lo), 1.0 - w)
     np.add.at(m, (rows, hi), w)
-    return jnp.asarray(m)
+    return m
+
+
+def _resize_matrix(in_size: int, out_size: int, align_corners: bool) -> jnp.ndarray:
+    return jnp.asarray(_resize_matrix_np(in_size, out_size, align_corners))
 
 
 def resize_bilinear(
