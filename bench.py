@@ -50,13 +50,12 @@ def main() -> None:
         s_ref = bundle.models["style_encoder"].apply(
             {"params": params.style_encoder}, xr, yr
         )
-        # One generator output per (src, style): styles ride the batch
-        # axis so all r*b outputs come from ONE MXU-saturating call.
-        xp = jnp.tile(x_priv, (r, 1, 1, 1))
-        ms = tuple(jnp.tile(m, (r, 1, 1, 1)) for m in masks)
-        ss = jnp.repeat(s_ref, b, axis=0)
+        # One generator output per (src, style): the generator's
+        # multi-style path encodes each source ONCE and decodes all r
+        # styles in one MXU-saturating call (models/stargan.py).
+        ss = jnp.repeat(s_ref, b, axis=0)  # r blocks of b
         fakes = bundle.models["generator"].apply(
-            {"params": params.generator}, xp, ss, ms
+            {"params": params.generator}, x_priv, ss, masks
         )
         return fakes.reshape(r, b, *fakes.shape[1:])
 

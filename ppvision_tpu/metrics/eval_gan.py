@@ -133,10 +133,39 @@ def calculate_metrics(
     embed_fn = make_embed_fn(id_net, arcface_params)
     id_cos_fn = jax.jit(lambda a, b: face_id_cosine(embed_fn, a, b))
 
-    gen_ref = jax.jit(
-        lambda p, xs, xr, yr: deid_from_reference(bundle, p, xs, xr, yr)
-    )
-    gen_lat = jax.jit(lambda p, xs, z, y: deid_from_latent(bundle, p, xs, z, y))
+    # Multi-output fast path: camera + heatmaps once per source batch,
+    # all num_outs styles decoded in one generator call (the generator's
+    # encode-once multi-style path) — identical outputs to the per-out
+    # loop the reference runs (eval.py:66-93).
+    from ..deid import _privacy_front
+
+    def _gen_multi(p, xs, styles_rb):
+        x_priv, masks = _privacy_front(bundle, p, xs)
+        fakes = bundle.models["generator"].apply(
+            {"params": p.generator}, x_priv, styles_rb, masks
+        )
+        return fakes.reshape(-1, xs.shape[0], *fakes.shape[1:])
+
+    @jax.jit
+    def gen_lat_multi(p, xs, zs, y):
+        """zs: (R, B, latent); y: (B,) -> (R, B, H, W, 3)."""
+        r, b = zs.shape[0], zs.shape[1]
+        yy = jnp.tile(y, (r,))
+        s = bundle.models["mapping_network"].apply(
+            {"params": p.mapping_network}, zs.reshape(r * b, -1), yy
+        )
+        return _gen_multi(p, xs, s)
+
+    @jax.jit
+    def gen_ref_multi(p, xs, xr, yr):
+        """xr: (R, B, H, W, 3) refs; yr: (B,) -> (R, B, H, W, 3)."""
+        r, b = xr.shape[0], xr.shape[1]
+        s = bundle.models["style_encoder"].apply(
+            {"params": p.style_encoder},
+            xr.reshape(r * b, *xr.shape[2:]),
+            jnp.tile(yr, (r,)),
+        )
+        return _gen_multi(p, xs, s)
 
     rng = np.random.default_rng(seed)
     results: dict[str, float] = {}
@@ -157,31 +186,29 @@ def calculate_metrics(
                     break
                 n_seen += batch.shape[0]
                 x_src = jnp.asarray(batch)
-                outs = []
-                for _ in range(num_outs):
-                    y = jnp.full((batch.shape[0],), trg_idx, jnp.int32)
-                    if mode == "latent":
-                        z = jnp.asarray(
-                            rng.standard_normal(
-                                (batch.shape[0], cfg.model.latent_dim)
-                            ).astype(np.float32)
-                        )
-                        fake = gen_lat(params, x_src, z, y)
-                    else:
-                        ref_paths = rng.choice(trg_files, batch.shape[0])
-                        from ..data.face import _load_rgb, _resize
+                y = jnp.full((batch.shape[0],), trg_idx, jnp.int32)
+                if mode == "latent":
+                    zs = jnp.asarray(
+                        rng.standard_normal(
+                            (num_outs, batch.shape[0], cfg.model.latent_dim)
+                        ).astype(np.float32)
+                    )
+                    fakes = gen_lat_multi(params, x_src, zs, y)
+                else:
+                    from ..data.face import _load_rgb, _resize
 
-                        xr = np.stack(
-                            [
-                                _resize(_load_rgb(p), (img_size, img_size)).astype(
-                                    np.float32
-                                )
-                                / 255.0
-                                for p in ref_paths
-                            ]
-                        )
-                        fake = gen_ref(params, x_src, jnp.asarray(xr), y)
-                    outs.append(fake)
+                    ref_paths = rng.choice(trg_files, num_outs * batch.shape[0])
+                    xr = np.stack(
+                        [
+                            _resize(_load_rgb(p), (img_size, img_size)).astype(
+                                np.float32
+                            )
+                            / 255.0
+                            for p in ref_paths
+                        ]
+                    ).reshape(num_outs, batch.shape[0], img_size, img_size, 3)
+                    fakes = gen_ref_multi(params, x_src, jnp.asarray(xr), y)
+                outs = list(fakes)
                 # Mean pairwise LPIPS among the generated outputs.
                 for i in range(num_outs - 1):
                     for j in range(i + 1, num_outs):

@@ -185,17 +185,35 @@ class Generator(nn.Module):
 
     @nn.compact
     def __call__(self, x, s, masks=None):
+        """Anonymize ``x`` with style codes ``s``.
+
+        Multi-style fast path: ``s`` may carry R styles per source —
+        shape (R*B, style_dim), laid out as R contiguous blocks of B
+        (``jnp.repeat(styles, B, axis=0)``).  The style-independent
+        encoder (and the high-pass skip features) then run ONCE at
+        batch B and only the style-modulated decoder runs at R*B —
+        identical outputs to calling with pre-tiled inputs, at roughly
+        half the FLOPs for large R (the de-id eval generates
+        ``num_outs_per_domain=10`` outputs per source, eval.py:66-93).
+        """
         repeat_num = int(math.log2(self.img_size)) - 4
         if self.w_hpf > 0:
             repeat_num += 1
         dims = _channel_dims(self.img_size, self.max_conv_dim, repeat_num)
+
+        b0 = x.shape[0]
+        if s.shape[0] % b0 != 0:
+            raise ValueError(
+                f"style batch {s.shape[0]} must be a multiple of image batch {b0}"
+            )
+        reps = s.shape[0] // b0
 
         if self.dtype is not None:
             x = x.astype(self.dtype)
             s = s.astype(self.dtype)
         x = _conv(dims[0], 3, dtype=self.dtype)(x)
         cache = {}
-        # Encode.
+        # Encode (style-independent; batch B).
         for i in range(repeat_num):
             if masks is not None and x.shape[-3] in (32, 64, 128):
                 cache[x.shape[-3]] = x - jnp.mean(x).astype(x.dtype)
@@ -203,7 +221,9 @@ class Generator(nn.Module):
                        dtype=self.dtype)(x)
         for _ in range(2):
             x = ResBlk(dims[-1], dims[-1], normalize=True, dtype=self.dtype)(x)
-        # Decode.
+        if reps > 1:
+            x = jnp.tile(x, (reps, 1, 1, 1))
+        # Decode (style-modulated; batch R*B).
         for _ in range(2):
             x = AdainResBlk(dims[-1], dims[-1], self.style_dim, w_hpf=self.w_hpf,
                             dtype=self.dtype)(x, s)
@@ -216,7 +236,10 @@ class Generator(nn.Module):
                 size = x.shape[-3]
                 mask = masks[0] if size == 32 else masks[1]
                 mask = resize_bilinear(mask, (size, size)).astype(x.dtype)
-                x = x + highpass(mask * cache[size], self.w_hpf)
+                hp = highpass(mask * cache[size], self.w_hpf)
+                if reps > 1:
+                    hp = jnp.tile(hp, (reps, 1, 1, 1))
+                x = x + hp
         x = InstanceNorm()(x)
         x = nn.leaky_relu(x, 0.2)
         return _conv(3, 1, pad=0, dtype=self.dtype)(x).astype(jnp.float32)

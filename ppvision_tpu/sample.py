@@ -167,12 +167,13 @@ def _interpolate_frames(bundle, params, x_priv, masks, s_prev, s_next, alphas):
     become a single MXU-saturating jitted call."""
     b = x_priv.shape[0]
     t = alphas.shape[0]
+    d = s_prev.shape[-1]
     a = jnp.asarray(alphas)[:, None, None]  # (T,1,1)
-    styles = (s_prev[None] + a * (s_next[None] - s_prev[None])).reshape(t * b, -1)
-    xs = jnp.tile(x_priv, (t, 1, 1, 1))
-    ms = tuple(jnp.tile(m, (t, 1, 1, 1)) for m in masks) if masks is not None else None
+    styles = s_prev[None] + a * (s_next[None] - s_prev[None])  # (T,?,D)
+    styles = jnp.broadcast_to(styles, (t, b, d)).reshape(t * b, d)
+    # Generator multi-style path: encode once, decode all T styles.
     fakes = bundle.models["generator"].apply(
-        {"params": params.generator}, xs, styles, ms
+        {"params": params.generator}, x_priv, styles, masks
     )
     fakes = fakes.reshape(t, b, *fakes.shape[1:])
     # Per-frame min-max normalize (utils.py:278).

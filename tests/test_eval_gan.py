@@ -1,0 +1,60 @@
+"""Eval orchestration: metric keys, multi-output path, random-net guard."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from ppvision_tpu.config import CameraConfig, FaceDeIdConfig, ModelConfig
+from ppvision_tpu.deid import build_deid
+from ppvision_tpu.metrics.eval_gan import calculate_metrics
+
+IMG = 32
+
+
+def _val_dir(tmp_path, n=2, size=40):
+    rng = np.random.default_rng(0)
+    root = str(tmp_path / "val")
+    for d in ("cat", "dog"):
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+        for i in range(n):
+            arr = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(root, d, f"{i}.png"))
+    return root
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    cfg = FaceDeIdConfig(
+        model=ModelConfig(img_size=IMG, fan_input_size=64, max_conv_dim=32, style_dim=8),
+        camera=CameraConfig(n=IMG, zernike_terms=16),
+    )
+    return build_deid(jax.random.key(0), cfg)
+
+
+def test_refuses_random_metric_nets(bundle, tmp_path):
+    root = _val_dir(tmp_path)
+    with pytest.raises(RuntimeError, match="allow_random_metrics"):
+        calculate_metrics(bundle, bundle.params, root, num_outs=2, batch_size=2)
+
+
+@pytest.mark.slow
+def test_calculate_metrics_latent_and_reference(bundle, tmp_path):
+    root = _val_dir(tmp_path)
+    for mode in ("latent", "reference"):
+        res = calculate_metrics(
+            bundle, bundle.params, root, mode=mode, num_outs=2, batch_size=2,
+            allow_random_metrics=True, out_dir=str(tmp_path / f"out_{mode}"),
+        )
+        for task in ("cat2dog", "dog2cat"):
+            assert f"LPIPS_{mode}/{task}" in res
+            assert f"FaceIDcos_{mode}/{task}" in res
+            assert np.isfinite(res[f"FaceIDcos_{mode}/{task}"])
+            assert -1.0 <= res[f"FaceIDcos_{mode}/{task}"] <= 1.0
+        for trg in ("cat", "dog"):
+            assert f"FID_{mode}/{trg}" in res and np.isfinite(res[f"FID_{mode}/{trg}"])
+        assert os.path.exists(
+            os.path.join(str(tmp_path / f"out_{mode}"), f"metrics_{mode}_0.json")
+        )

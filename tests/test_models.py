@@ -111,3 +111,36 @@ def test_preprocess_shift_is_circular_roll():
     x = jnp.asarray(rng.uniform(size=(1, 8, 4, 98)).astype(np.float32))
     rolled = fan_mod._roll_rows(x, 3)
     np.testing.assert_allclose(np.asarray(rolled), np.roll(np.asarray(x), -3, axis=1))
+
+
+@pytest.mark.slow
+def test_generator_multistyle_matches_tiled(keys):
+    """The encode-once multi-style path must match per-style tiled calls
+    exactly (it is the same math; only the encoder is shared)."""
+    from ppvision_tpu.models.stargan import Generator
+
+    img, style_dim, b, r = 32, 8, 2, 3
+    gen = Generator(img_size=img, style_dim=style_dim, max_conv_dim=32)
+    x = jax.random.uniform(jax.random.key(1), (b, img, img, 3))
+    masks = (
+        jax.random.uniform(jax.random.key(2), (b, 256, 256, 1)),
+        jax.random.uniform(jax.random.key(3), (b, 256, 256, 1)),
+    )
+    styles = jax.random.normal(jax.random.key(4), (r, style_dim))
+    params = gen.init(jax.random.key(0), x, jnp.zeros((b, style_dim)), masks)["params"]
+
+    ss = jnp.repeat(styles, b, axis=0)  # r blocks of b
+    multi = gen.apply({"params": params}, x, ss, masks)  # (r*b, ...)
+    assert multi.shape[0] == r * b
+
+    for i in range(r):
+        s_i = jnp.broadcast_to(styles[i : i + 1], (b, style_dim))
+        single = gen.apply({"params": params}, x, s_i, masks)
+        np.testing.assert_allclose(
+            np.asarray(multi[i * b : (i + 1) * b]), np.asarray(single),
+            rtol=2e-2, atol=2e-2,  # bf16 compute dtype default is off; f32 here
+        )
+
+    # Mismatched style batch is rejected loudly.
+    with pytest.raises(ValueError, match="multiple"):
+        gen.apply({"params": params}, x, jnp.zeros((b + 1, style_dim)), masks)
