@@ -44,6 +44,15 @@ def build_parser():
     tr.add_argument("--batch_size", type=int, default=64)
     tr.add_argument("--camera_train", type=lambda s: s.lower() in ("1", "true"), default=True)
     tr.add_argument("--warmup_ckpt", default=None, help="camera warm-start (Model.pth equivalent)")
+    tr.add_argument(
+        "--encoder_ckpt", default=None,
+        help="torchvision resnet101 state_dict for the encoder warm start "
+        "(reference train.py:94-109)",
+    )
+    tr.add_argument(
+        "--resume", action="store_true",
+        help="resume from the latest caption_state checkpoint in out_dir",
+    )
 
     ev = sub.add_parser("eval")
     _add_common(ev)
@@ -92,14 +101,35 @@ def run_train(args):
         state = state.replace(
             camera=lens_params_from_torch(load_torch_state_dict(args.warmup_ckpt))
         )
+    if getattr(args, "encoder_ckpt", None):
+        from ..utils.torch_import import (
+            caption_encoder_variables_from_torch,
+            load_torch_state_dict,
+        )
+
+        enc_vars = caption_encoder_variables_from_torch(
+            load_torch_state_dict(args.encoder_ckpt)
+        )
+        state = state.replace(
+            encoder=jax.tree_util.tree_map(jnp.asarray, enc_vars)
+        )
+    ckpts = StepCheckpoints(args.out_dir)
+    start_epoch = 0
+    if getattr(args, "resume", False):
+        latest = ckpts.latest_step("caption_state")
+        if latest is not None:
+            state = ckpts.load(latest, "caption_state", state)
+            start_epoch = latest
+            print(f"Resumed captioning training from epoch {latest}")
+        else:
+            print(f"--resume: no caption_state checkpoint in {args.out_dir}")
     step_fn = make_caption_train_step(
         encoder, decoder, cfg, spec, consts, camera_train=args.camera_train
     )
     writer = MetricWriter(args.out_dir, log_interval=50)
-    ckpts = StepCheckpoints(args.out_dir)
     best_bleu4, step = 0.0, 0
     rng = jax.random.key(1)
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         for batch in caption_batches(train_ds, cfg.batch_size, shuffle=True, seed=epoch):
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(
@@ -131,7 +161,15 @@ def run_eval(args):
     spec, consts, encoder, decoder, state = _setup(cfg, len(word_map) + 1)
     ckpts = StepCheckpoints(args.out_dir)
     latest = ckpts.latest_step("caption_state")
-    if latest is not None:
+    if latest is None:
+        import sys
+
+        print(
+            f"WARNING: no caption_state checkpoint in {args.out_dir} — "
+            "evaluating RANDOM-INIT models; scores are meaningless.",
+            file=sys.stderr,
+        )
+    else:
         state = ckpts.load(latest, "caption_state", state)
     res = evaluate_captions(
         cfg, encoder, decoder, state.encoder, state.decoder,

@@ -86,6 +86,21 @@ def create_input_files(
 
     rng = np.random.default_rng(seed)
     for split, items in splits.items():
+        # Corrupt-image skip (reference utils.py:208-219): drop unreadable
+        # files with a warning instead of crashing the whole build.
+        from PIL import Image
+
+        ok_items = []
+        for path, caps in items:
+            try:
+                with Image.open(path) as im:
+                    im.verify()
+                ok_items.append((path, caps))
+            except Exception as e:  # noqa: BLE001 — any decode failure
+                import sys
+
+                print(f"WARNING: skipping corrupt image {path}: {e}", file=sys.stderr)
+        items = ok_items
         h5_path = os.path.join(output_folder, f"{split}_IMAGES_{base}.hdf5")
         with h5py.File(h5_path, "w") as h:
             h.attrs["captions_per_image"] = captions_per_image
