@@ -37,7 +37,7 @@ def main() -> None:
     cfg = FaceDeIdConfig(model=ModelConfig(img_size=128), camera=CameraConfig(n=128))
     bundle = build_deid(jax.random.key(0), cfg)
 
-    b = int(os.environ.get("PPVISION_BENCH_SRC", "64"))
+    b = int(os.environ.get("PPVISION_BENCH_SRC", "128"))
     r = int(os.environ.get("PPVISION_BENCH_OUTS", "10"))
     x_src = jax.random.uniform(jax.random.key(1), (b, 128, 128, 3))
     x_ref = jax.random.uniform(jax.random.key(2), (r, 128, 128, 3))

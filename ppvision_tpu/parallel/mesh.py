@@ -20,7 +20,47 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicate", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicate",
+    "shard_batch",
+    "initialize_multihost",
+    "is_primary",
+]
+
+
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Join a multi-host JAX job (DCN between hosts, ICI within).
+
+    On Cloud TPU pods the arguments auto-detect from the environment;
+    pass them explicitly elsewhere.  Call ONCE before any jax op; after
+    this, ``jax.devices()`` spans the whole pod and ``make_mesh()``
+    builds a global mesh (data-parallel batches shard across hosts,
+    gradient all-reduces ride ICI within each slice).  No-op when
+    already initialized or in a single-process job.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        pass  # single-process / no coordinator configured
+
+
+def is_primary() -> bool:
+    """True on the rank-0 process — gate checkpoint writes and logging
+    (the reference's vestigial ``gpu_rank == 0`` checks,
+    Image_Caption/Camera/Utils.py:15)."""
+    return jax.process_index() == 0
 
 
 def make_mesh(
