@@ -1,0 +1,107 @@
+"""Pretrained-artifact wiring: Model_wing.pth load path, aux-loss
+builders, and restore_deid_params fallbacks (VERDICT r1 items 3/4/6)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from ppvision_tpu.config import CameraConfig, FaceDeIdConfig, ModelConfig, PathsConfig
+
+from .golden_reference import import_face_deid_models
+
+IMG = 32
+
+
+def _cfg(tmp_path, **paths):
+    defaults = dict(
+        wing_path=str(tmp_path / "missing_wing.ckpt"),
+        camera_ckpt=str(tmp_path / "missing_cam.pth"),
+        lpips_path=str(tmp_path / "m1"),
+        alexnet_path=str(tmp_path / "m2"),
+        raft_path=str(tmp_path / "m3"),
+        checkpoint_save_dir=str(tmp_path / "ck"),
+    )
+    defaults.update(paths)
+    return FaceDeIdConfig(
+        model=ModelConfig(img_size=IMG, fan_input_size=64, max_conv_dim=32, style_dim=8),
+        camera=CameraConfig(n=IMG, zernike_terms=16),
+        paths=PathsConfig(**defaults),
+    )
+
+
+@pytest.mark.slow
+def test_model_wing_ckpt_load(tmp_path, capsys):
+    """Model_wing.pth = {'Camera': state, 'Decoder': FAN state} loads the
+    camera strictly and fan_priv from 'Decoder' (solver.py:46-48, 99)."""
+    from ppvision_tpu.models.fan import FAN
+    from ppvision_tpu.train.pretrained import load_frozen_nets
+
+    torch.manual_seed(0)
+    ref_model, ref_wing = import_face_deid_models()
+    wing = ref_wing.FAN().eval()
+    cam_sd = {
+        "Zer_train": torch.rand(13),
+        "Zer_no_train": torch.zeros(3),
+    }
+    path = str(tmp_path / "Model_wing.pth")
+    torch.save({"Camera": cam_sd, "Decoder": wing.state_dict()}, path)
+
+    cfg = _cfg(tmp_path, camera_ckpt=path)
+    fan = FAN()
+    frozen = load_frozen_nets(cfg, fan, jax.random.key(0))
+    np.testing.assert_allclose(
+        np.asarray(frozen.camera_params.zernike_train),
+        cam_sd["Zer_train"].numpy(),
+        rtol=1e-6,
+    )
+    # fan_priv converted from the torch FAN: same forward outputs.
+    # (The reference FAN hard-codes 256^2 CoordConv grids.)
+    x = np.random.default_rng(0).uniform(size=(1, 256, 256, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = wing(torch.from_numpy(x).permute(0, 3, 1, 2))[0][0].permute(0, 2, 3, 1)
+    out = fan.apply({"params": frozen.fan_priv_params}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out), ref_out.numpy(), rtol=2e-3, atol=2e-3
+    )
+    # Missing wing.ckpt -> loud warning, random fan.
+    assert "RANDOM" in capsys.readouterr().err
+
+
+@pytest.mark.slow
+def test_restore_deid_params_orbax_roundtrip(tmp_path):
+    """restore_deid_params picks up the latest orbax nets_ema group."""
+    from ppvision_tpu.deid import build_deid
+    from ppvision_tpu.train.pretrained import restore_deid_params
+    from ppvision_tpu.utils.checkpoint import StepCheckpoints
+
+    cfg = _cfg(tmp_path)
+    bundle = build_deid(jax.random.key(0), cfg)
+    # Save a recognizably-different EMA tree at step 7.
+    bumped = {
+        k: jax.tree_util.tree_map(lambda a: a + 1.0, getattr(bundle.params, k))
+        for k in ("generator", "mapping_network", "style_encoder")
+    }
+    ckpts = StepCheckpoints(cfg.paths.checkpoint_save_dir)
+    ckpts.save(7, "nets_ema", bumped)
+
+    restored = restore_deid_params(bundle, cfg)
+    a0 = jax.tree_util.tree_leaves(bundle.params.generator)[0]
+    b0 = jax.tree_util.tree_leaves(restored.generator)[0]
+    np.testing.assert_allclose(np.asarray(b0), np.asarray(a0) + 1.0, rtol=1e-6)
+
+
+def test_restore_deid_params_warns_without_ckpt(tmp_path, capsys):
+    from ppvision_tpu.deid import build_deid
+    from ppvision_tpu.train.pretrained import restore_deid_params
+
+    cfg = _cfg(tmp_path)
+    bundle = build_deid(jax.random.key(0), cfg)
+    restored = restore_deid_params(bundle, cfg)
+    assert "RANDOM" in capsys.readouterr().err
+    a0 = jax.tree_util.tree_leaves(bundle.params.generator)[0]
+    b0 = jax.tree_util.tree_leaves(restored.generator)[0]
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(b0))
