@@ -107,9 +107,15 @@ def run_train(cfg, use_wandb: bool = False) -> None:
             step=jnp.asarray(start, jnp.int32),
         )
         print(f"Resumed training from step {start}")
-    elif start:
-        print(f"No checkpoint at step {start} in {ckpts.root}; starting fresh")
-        start = 0
+    else:
+        if start:
+            print(f"No checkpoint at step {start} in {ckpts.root}; trying warm start")
+            start = 0
+        # Reference warm-start semantics (solver.py:92-99): load nets
+        # from checkpoint_dir / a reference torch ckpt, save elsewhere.
+        from ..train.pretrained import warm_start_state
+
+        state, _ = warm_start_state(state, cfg)
 
     # Full paper loss: LPIPS x2000 + RAFT flow x10 (solver.py:161-184).
     lpips_fn, flow_fn = build_aux_losses(cfg, jax.random.key(2))

@@ -164,6 +164,88 @@ def build_aux_losses(
     return lpips_fn, flow_fn
 
 
+def _import_torch_gan_nets(path: str, cfg: FaceDeIdConfig) -> dict[str, Any]:
+    """Reference '{:06d}_nets(.ema).ckpt' -> dict of converted param trees
+    for whichever of G/M/E/D the file contains."""
+    import torch
+
+    from ..utils.torch_import import (
+        discriminator_params_from_torch,
+        generator_params_from_torch,
+        mapping_params_from_torch,
+        style_encoder_params_from_torch,
+    )
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+
+    def flat(name):
+        sd = obj[name]
+        sd = sd.state_dict() if hasattr(sd, "state_dict") else sd
+        return {
+            k.replace("module.", ""): np.asarray(v.detach().cpu())
+            for k, v in sd.items()
+            if hasattr(v, "detach")
+        }
+
+    m, mx, nd = cfg.model.img_size, cfg.model.max_conv_dim, cfg.model.num_domains
+    out: dict[str, Any] = {}
+    conv = {
+        "generator": lambda sd: generator_params_from_torch(
+            sd, img_size=m, max_conv_dim=mx, w_hpf=cfg.model.w_hpf
+        ),
+        "mapping_network": lambda sd: mapping_params_from_torch(sd, num_domains=nd),
+        "style_encoder": lambda sd: style_encoder_params_from_torch(
+            sd, img_size=m, num_domains=nd, max_conv_dim=mx
+        ),
+        "discriminator": lambda sd: discriminator_params_from_torch(
+            sd, img_size=m, num_domains=nd, max_conv_dim=mx
+        ),
+    }
+    as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
+    for name, fn in conv.items():
+        if name in obj:
+            out[name] = as_jnp(fn(flat(name)))
+    return out
+
+
+def warm_start_state(state, cfg: FaceDeIdConfig):
+    """Warm-start GAN training the way the reference does (solver.py:92-99):
+    LOAD from ``cfg.paths.checkpoint_dir`` (orbax groups, or a reference
+    torch '{:06d}_nets.ckpt' via ``cfg.paths.torch_nets_ckpt``), then
+    training SAVES to ``checkpoint_save_dir``.  Optimizer states start
+    fresh; EMA copies the warm-started params when no EMA source exists.
+    Returns (state, True) when something loaded.
+    """
+    from ..utils.checkpoint import StepCheckpoints
+
+    # Orbax groups in checkpoint_dir (e.g. a previous run's save dir).
+    if os.path.isdir(cfg.paths.checkpoint_dir):
+        src = StepCheckpoints(cfg.paths.checkpoint_dir)
+        step = src.latest_step("nets")
+        if step is not None:
+            params = src.load(step, "nets", target=state.params)
+            ema = state.ema_params
+            if os.path.exists(src.path(step, "nets_ema")):
+                ema = src.load(step, "nets_ema", target=state.ema_params)
+            print(f"Warm start from {cfg.paths.checkpoint_dir} step {step}")
+            return state.replace(params=params, ema_params=ema), True
+
+    tck = cfg.paths.torch_nets_ckpt
+    if tck and os.path.exists(tck):
+        nets = _import_torch_gan_nets(tck, cfg)
+        params = dict(state.params)
+        params.update({k: v for k, v in nets.items() if k in params})
+        ema = {k: nets.get(k, params[k]) for k in state.ema_params}
+        # A sibling '..._nets_ema.ckpt' provides the EMA copies when present.
+        ema_path = tck.replace("_nets.ckpt", "_nets_ema.ckpt")
+        if ema_path != tck and os.path.exists(ema_path):
+            ema_nets = _import_torch_gan_nets(ema_path, cfg)
+            ema.update({k: v for k, v in ema_nets.items() if k in ema})
+        print(f"Warm start from reference checkpoint {tck}")
+        return state.replace(params=params, ema_params=ema), True
+    return state, False
+
+
 def restore_deid_params(bundle, cfg: FaceDeIdConfig, step: int | None = None):
     """Restore DeIdParams for --mode sample/eval (VERDICT r1 item 6).
 

@@ -105,3 +105,66 @@ def test_restore_deid_params_warns_without_ckpt(tmp_path, capsys):
     a0 = jax.tree_util.tree_leaves(bundle.params.generator)[0]
     b0 = jax.tree_util.tree_leaves(restored.generator)[0]
     np.testing.assert_array_equal(np.asarray(a0), np.asarray(b0))
+
+
+@pytest.mark.slow
+def test_warm_start_from_torch_nets_ckpt(tmp_path):
+    """Reference '{:06d}_nets.ckpt' warm start (solver.py:92-99): params
+    import from torch; EMA mirrors them; optimizers start fresh."""
+    from ppvision_tpu.train.gan import init_gan
+    from ppvision_tpu.train.pretrained import warm_start_state
+
+    torch.manual_seed(1)
+    ref_model, _ = import_face_deid_models()
+    tm = ref_model.MappingNetwork(latent_dim=16, style_dim=8, num_domains=2).eval()
+    path = str(tmp_path / "100000_nets.ckpt")
+    torch.save({"mapping_network": tm.state_dict()}, path)
+
+    cfg = _cfg(tmp_path, torch_nets_ckpt=path, checkpoint_dir=str(tmp_path / "nope"))
+    _, _, state = init_gan(jax.random.key(0), cfg)
+    new_state, loaded = warm_start_state(state, cfg)
+    assert loaded
+    # Mapping net replaced; parity with the torch module.
+    z = np.random.default_rng(0).standard_normal((2, 16)).astype(np.float32)
+    y = np.array([0, 1])
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(z), torch.from_numpy(y)).numpy()
+    from ppvision_tpu.models.stargan import MappingNetwork
+
+    ours = MappingNetwork(latent_dim=16, style_dim=8, num_domains=2).apply(
+        {"params": new_state.params["mapping_network"]}, jnp.asarray(z), jnp.asarray(y)
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+    # EMA mirrors the imported params.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.ema_params["mapping_network"]),
+        jax.tree_util.tree_leaves(new_state.params["mapping_network"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Other nets untouched.
+    g0 = jax.tree_util.tree_leaves(state.params["generator"])[0]
+    g1 = jax.tree_util.tree_leaves(new_state.params["generator"])[0]
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+
+@pytest.mark.slow
+def test_warm_start_from_orbax_dir(tmp_path):
+    from ppvision_tpu.train.gan import init_gan
+    from ppvision_tpu.train.pretrained import warm_start_state
+    from ppvision_tpu.utils.checkpoint import StepCheckpoints
+
+    cfg_src = _cfg(tmp_path)
+    _, _, state = init_gan(jax.random.key(0), cfg_src)
+    bumped = {
+        k: jax.tree_util.tree_map(lambda a: a + 2.0, v)
+        for k, v in state.params.items()
+    }
+    src = StepCheckpoints(str(tmp_path / "warm"))
+    src.save(5, "nets", bumped)
+
+    cfg = _cfg(tmp_path, checkpoint_dir=str(tmp_path / "warm"))
+    new_state, loaded = warm_start_state(state, cfg)
+    assert loaded
+    a = jax.tree_util.tree_leaves(state.params["generator"])[0]
+    b = jax.tree_util.tree_leaves(new_state.params["generator"])[0]
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a) + 2.0, rtol=1e-6)
