@@ -115,5 +115,11 @@ def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
-    """2x nearest upsample (exact duplication)."""
-    return jnp.repeat(jnp.repeat(x, 2, axis=-3), 2, axis=-2)
+    """2x nearest upsample (exact duplication).
+
+    Broadcast+reshape instead of two ``jnp.repeat``s: one fused
+    relayout, no gather lowering.
+    """
+    b, h, w, c = x.shape
+    y = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return y.reshape(b, 2 * h, 2 * w, c)
