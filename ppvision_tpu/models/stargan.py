@@ -241,8 +241,14 @@ class Generator(nn.Module):
                 mask = resize_bilinear(mask, (size, size)).astype(x.dtype)
                 hp = highpass(mask * cache[size], self.w_hpf)
                 if reps > 1:
-                    hp = jnp.tile(hp, (reps, 1, 1, 1))
-                x = x + hp
+                    # Broadcast-add in (R, B, ...) view: never materialize
+                    # the R-tiled skip tensor (5+ GB of HBM traffic at
+                    # the 128^2 level for R=10, B=128).
+                    x = (
+                        x.reshape(reps, b0, *x.shape[1:]) + hp[None]
+                    ).reshape(x.shape)
+                else:
+                    x = x + hp
         x = InstanceNorm()(x)
         x = nn.leaky_relu(x, 0.2)
         return _conv(3, 1, pad=0, dtype=self.dtype)(x).astype(jnp.float32)

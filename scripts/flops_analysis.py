@@ -4,6 +4,10 @@ Compile-only (no execution); prints one JSON line per stage.
 """
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -5,6 +5,10 @@ Times camera / fan_priv heatmap / style encoder / generator separately
 """
 
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax
