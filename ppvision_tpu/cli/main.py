@@ -232,7 +232,11 @@ def run_video(cfg, bundle) -> None:
         from ..models.raft import RAFT
         from ..train.pretrained import warn_random_init
 
-        raft = RAFT()
+        # Pyramid depth must fit the 1/8-res feature map (tiny frames in
+        # tests; real frames use the full 4 levels).
+        fmap = max(cfg.model.img_size // 8, 1)
+        corr_levels = max(1, min(4, int(np.log2(fmap)) + 1))
+        raft = RAFT(corr_levels=corr_levels)
         if os.path.exists(cfg.paths.raft_path):
             from ..utils.torch_import import raft_params_from_torch, load_torch_state_dict
 

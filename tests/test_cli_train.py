@@ -82,3 +82,49 @@ def test_run_train_full_loss_and_resume(tmp_path, capsys):
     out = capsys.readouterr()
     assert "Resumed training from step 2" in out.out
     assert os.path.isdir(os.path.join(ckdir, "000003_nets"))
+
+
+@pytest.mark.slow
+def test_run_sample_writes_outputs(tmp_path, capsys):
+    from ppvision_tpu.cli.main import run_sample
+
+    data = str(tmp_path / "data")
+    _make_dataset(data, domains=("cat",), n=4)
+    cfg = FaceDeIdConfig(
+        model=ModelConfig(img_size=IMG, fan_input_size=64, max_conv_dim=32, style_dim=8),
+        camera=CameraConfig(n=IMG, zernike_terms=16),
+        train=TrainConfig(val_batch_size=2),
+        paths=PathsConfig(
+            src_dir=os.path.join(data, "cat"), ref_dir=os.path.join(data, "cat"),
+            result_dir=str(tmp_path / "res"),
+            checkpoint_save_dir=str(tmp_path / "none"),
+            wing_path=str(tmp_path / "no.ckpt"), camera_ckpt=str(tmp_path / "no.pth"),
+        ),
+    )
+    run_sample(cfg, num_batches=1)
+    files = os.listdir(str(tmp_path / "res"))
+    assert any(f.startswith("reference_") for f in files)
+    assert any(f.startswith("ref0_") for f in files)
+
+
+@pytest.mark.slow
+def test_run_sample_video_writes_sequence(tmp_path):
+    from ppvision_tpu.cli.main import run_sample
+
+    data = str(tmp_path / "data")
+    _make_dataset(data, domains=("cat",), n=4)
+    cfg = FaceDeIdConfig(
+        model=ModelConfig(img_size=IMG, fan_input_size=64, max_conv_dim=32, style_dim=8),
+        camera=CameraConfig(n=IMG, zernike_terms=16),
+        train=TrainConfig(val_batch_size=4, flow_iters=1),
+        paths=PathsConfig(
+            src_dir=os.path.join(data, "cat"), ref_dir=os.path.join(data, "cat"),
+            result_dir=str(tmp_path / "res"),
+            checkpoint_save_dir=str(tmp_path / "none"),
+            wing_path=str(tmp_path / "no.ckpt"), camera_ckpt=str(tmp_path / "no.pth"),
+            raft_path=str(tmp_path / "no_raft.pth"),
+        ),
+    )
+    run_sample(cfg, video=True)
+    # mp4s exist only if ffmpeg is installed; the interp video path and
+    # flow consistency must run either way (no exception == pass).
