@@ -28,14 +28,38 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.fusedconv import conv3x3_avgpool2x, conv3x3_nearest_up2x
 from ..ops.image import avg_pool_2x, resize_bilinear, upsample_nearest_2x
 
 he_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
+class _ResampleConv3x3(nn.Module):
+    """3x3 conv fused with its adjacent 2x resample (see ops/fusedconv).
+
+    Declares the same ``kernel``/``bias`` params as ``nn.Conv`` (pass
+    ``name="Conv_n"`` so checkpoint/import trees are unchanged); the
+    fused kernels are derived from the f32 master at trace time.
+    """
+
+    features: int
+    mode: str  # "up": nearest2x -> conv; "down": conv -> avgpool2x
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", he_init, (3, 3, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        fn = conv3x3_nearest_up2x if self.mode == "up" else conv3x3_avgpool2x
+        y = fn(x, kernel)
+        return y + bias.astype(y.dtype)
+
+
 def _conv(
     features: int, kernel: int, stride: int = 1, pad: str | int = "SAME",
-    bias=True, dtype=None,
+    bias=True, dtype=None, name=None,
 ):
     padding = pad if isinstance(pad, str) else [(pad, pad), (pad, pad)]
     return nn.Conv(
@@ -46,6 +70,7 @@ def _conv(
         use_bias=bias,
         kernel_init=he_init,
         dtype=dtype,
+        name=name,
     )
 
 
@@ -84,24 +109,32 @@ class ResBlk(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # Shortcut.
+        idx = 0
+        # Shortcut.  1x1 convs commute exactly with avg-pool (channel
+        # mix vs spatial mean), so pool first: 4x fewer conv FLOPs.
         s = x
         if self.dim_in != self.dim_out:
-            s = _conv(self.dim_out, 1, bias=False, dtype=self.dtype)(s)
-        if self.downsample:
+            if self.downsample:
+                s = avg_pool_2x(s)
+            s = _conv(self.dim_out, 1, bias=False, dtype=self.dtype,
+                      name=f"Conv_{idx}")(s)
+            idx += 1
+        elif self.downsample:
             s = avg_pool_2x(s)
         # Residual.
         r = x
         if self.normalize:
             r = InstanceNorm()(r)
         r = nn.leaky_relu(r, 0.2)
-        r = _conv(self.dim_in, 3, dtype=self.dtype)(r)
         if self.downsample:
-            r = avg_pool_2x(r)
+            r = _ResampleConv3x3(self.dim_in, "down", dtype=self.dtype,
+                                 name=f"Conv_{idx}")(r)
+        else:
+            r = _conv(self.dim_in, 3, dtype=self.dtype, name=f"Conv_{idx}")(r)
         if self.normalize:
             r = InstanceNorm()(r)
         r = nn.leaky_relu(r, 0.2)
-        r = _conv(self.dim_out, 3, dtype=self.dtype)(r)
+        r = _conv(self.dim_out, 3, dtype=self.dtype, name=f"Conv_{idx + 1}")(r)
         return ((s + r) / math.sqrt(2)).astype(r.dtype)
 
 
@@ -139,17 +172,23 @@ class AdainResBlk(nn.Module):
         r = AdaIN(self.dim_in, dtype=self.dtype)(x, s)
         r = nn.leaky_relu(r, 0.2)
         if self.upsample:
-            r = upsample_nearest_2x(r)
-        r = _conv(self.dim_out, 3, dtype=self.dtype)(r)
+            # nearest-up2x + conv3x3 fused: 2.25x fewer FLOPs, same math.
+            r = _ResampleConv3x3(self.dim_out, "up", dtype=self.dtype,
+                                 name="Conv_0")(r)
+        else:
+            r = _conv(self.dim_out, 3, dtype=self.dtype, name="Conv_0")(r)
         r = AdaIN(self.dim_out, dtype=self.dtype)(r, s)
         r = nn.leaky_relu(r, 0.2)
-        r = _conv(self.dim_out, 3, dtype=self.dtype)(r)
+        r = _conv(self.dim_out, 3, dtype=self.dtype, name="Conv_1")(r)
         if self.w_hpf == 0:
+            # 1x1 conv commutes exactly with nearest-up (channel mix vs
+            # pixel duplication): conv on the small side, 4x cheaper.
             sc = x
+            if self.dim_in != self.dim_out:
+                sc = _conv(self.dim_out, 1, bias=False, dtype=self.dtype,
+                           name="Conv_2")(sc)
             if self.upsample:
                 sc = upsample_nearest_2x(sc)
-            if self.dim_in != self.dim_out:
-                sc = _conv(self.dim_out, 1, bias=False, dtype=self.dtype)(sc)
             r = ((r + sc) / math.sqrt(2)).astype(r.dtype)
         return r
 
