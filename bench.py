@@ -60,18 +60,25 @@ def main() -> None:
         return fakes.reshape(r, b, *fakes.shape[1:])
 
     # The tunnel backend's block_until_ready does not synchronize with
-    # device completion; force a scalar host transfer on EVERY timed
-    # call and take the minimum (steady-state) iteration.
+    # device completion; a scalar host transfer is the only real sync.
+    # One transfer costs ~30 ms of tunnel round-trip, so time a CHAIN of
+    # K dispatches with a single trailing sync and divide: the device
+    # executes the K programs back-to-back (one program at a time per
+    # core), which is exactly the steady-state serving pipeline.
     fn = jax.jit(lambda p, xs, xr, yr: jnp.sum(deid_multi(p, xs, xr, yr)))
     warm = float(fn(bundle.params, x_src, x_ref, y_ref))  # compile + warm up
     # NaN/inf anywhere would poison the sum — sanity-gate the bench.
     assert warm == warm and abs(warm) != float("inf"), f"non-finite output: {warm}"
 
+    k = int(os.environ.get("PPVISION_BENCH_CHAIN", "4"))
     times = []
-    for _ in range(8):
+    for _ in range(6):
         t0 = time.perf_counter()
-        float(fn(bundle.params, x_src, x_ref, y_ref))
-        times.append(time.perf_counter() - t0)
+        out = None
+        for _ in range(k):
+            out = fn(bundle.params, x_src, x_ref, y_ref)
+        float(out)  # sync the whole chain
+        times.append((time.perf_counter() - t0) / k)
     dt = min(times)
     img_s = (b * r) / dt
 

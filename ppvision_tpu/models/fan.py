@@ -48,8 +48,29 @@ def _coord_channels(height: int, width: int, with_r: bool) -> np.ndarray:
     return np.stack(chans, axis=-1)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Conv`` (same tree: kernel, bias)."""
+
+    kshape: tuple
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.kshape)
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class CoordConv(nn.Module):
-    """Conv over input + coordinate (+boundary-gated coordinate) channels."""
+    """Conv over input + coordinate (+boundary-gated coordinate) channels.
+
+    The coordinate channels are static, so their contribution
+    ``conv(coords)`` is a CONSTANT feature map that XLA folds at compile
+    time — the runtime conv only sees the data channels (no channel
+    concat, no 256^2 coord materialization, and channel counts stay
+    lane-aligned: e.g. the hourglass 1x1 runs 256-in, not 259-in).
+    Exact same math as convolving the concatenation.
+    """
 
     features: int
     kernel: int
@@ -61,23 +82,37 @@ class CoordConv(nn.Module):
     @nn.compact
     def __call__(self, x, heatmap=None):
         h, w = x.shape[-3], x.shape[-2]
-        coords = jnp.asarray(_coord_channels(h, w, self.with_r), dtype=x.dtype)
-        coords = jnp.broadcast_to(coords, (x.shape[0],) + coords.shape)
-        feats = [x, coords]
-        if self.with_boundary and heatmap is not None:
+        coords = _coord_channels(h, w, self.with_r)
+        ncoord = coords.shape[-1]
+        cx = x.shape[-1]
+        # Boundary-gated channels exist only when a heatmap is fed (the
+        # reference conv is built lazily on the concatenated input,
+        # wing.py:86-136 — first-stack hourglasses see no boundary).
+        has_gate = self.with_boundary and heatmap is not None
+        cin = cx + ncoord + (2 if has_gate else 0)
+        kernel, bias = _ConvParams(
+            (self.kernel, self.kernel, cin, self.features), self.features,
+            name="Conv_0",
+        )()
+        dt = self.dtype or x.dtype
+        pad = [(self.kernel // 2, self.kernel // 2)] * 2
+        strides = (self.stride, self.stride)
+
+        def conv(v, k):
+            return jax.lax.conv_general_dilated(
+                v.astype(dt), k.astype(dt), strides, pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        y = conv(x, kernel[:, :, :cx])
+        # Static coord contribution: conv of a (1,H,W,ncoord) constant.
+        y = y + conv(jnp.asarray(coords)[None], kernel[:, :, cx : cx + ncoord])
+        if has_gate:
             boundary = jnp.clip(heatmap[..., -1:], 0.0, 1.0)
-            gate = boundary > 0.05
-            feats.append(jnp.where(gate, coords[..., 0:1], 0.0))
-            feats.append(jnp.where(gate, coords[..., 1:2], 0.0))
-        x = jnp.concatenate(feats, axis=-1)
-        pad = self.kernel // 2
-        return nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)],
-            dtype=self.dtype,
-        )(x)
+            gate = (boundary > 0.05).astype(dt)
+            gated = gate * jnp.asarray(coords[..., :2])[None].astype(dt)
+            y = y + conv(gated, kernel[:, :, cx + ncoord :])
+        return y + bias.astype(dt)
 
 
 class FrozenBatchNorm(nn.Module):
