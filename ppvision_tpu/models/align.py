@@ -55,7 +55,7 @@ def get_landmarks(fan: FAN, params: Any, x: jnp.ndarray) -> jnp.ndarray:
     """(B, 98, 2) landmarks in input pixels (reference get_landmark,
     wing.py:300-310): resize to 256, run FAN, scale heatmap coords x4."""
     xr = resize_bilinear(x, (256, 256))
-    out = fan.apply({"params": params}, xr * 0.5 + 0.5)
+    out = fan.apply({"params": params}, xr * 0.5 + 0.5).astype(jnp.float32)
     hm = out[..., :NUM_LANDMARKS]
     return heatmap_landmarks(hm) * 4.0
 

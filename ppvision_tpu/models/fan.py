@@ -213,8 +213,10 @@ class FAN(nn.Module):
         h = DenseConvBlock(256, 256, dtype=self.dtype)(h)
         h = nn.Conv(256, (1, 1), dtype=self.dtype)(h)
         h = nn.relu(FrozenBatchNorm()(h))
-        out = nn.Conv(self.num_landmarks + 1, (1, 1), dtype=self.dtype)(h)
-        return out.astype(jnp.float32)  # (B, 64, 64, 99)
+        # Returned in the compute dtype: consumers reduce/resize with f32
+        # accumulation, so an eager f32 cast here would only double the
+        # head tensor's HBM bytes.
+        return nn.Conv(self.num_landmarks + 1, (1, 1), dtype=self.dtype)(h)
 
 
 # ---------------------------------------------------------------------------
@@ -323,12 +325,12 @@ def get_heatmap(
         # channels at heatmap resolution before upsampling — identical
         # result, 49x less resize memory (the naive order OOMs at
         # batch 256 on a 16 GB chip).
-        m1 = jnp.sum(hm[..., :49], axis=-1, keepdims=True)
-        m2 = jnp.sum(hm[..., 49:], axis=-1, keepdims=True)
+        m1 = jnp.sum(hm[..., :49], axis=-1, keepdims=True, dtype=jnp.float32)
+        m2 = jnp.sum(hm[..., 49:], axis=-1, keepdims=True, dtype=jnp.float32)
         m1 = resize_bilinear(m1, (s, s), align_corners=True)
         m2 = resize_bilinear(m2, (s, s), align_corners=True)
         return jnp.clip(m1, 0.0, 1.0), jnp.clip(m2, 0.0, 1.0)
-    hm = resize_bilinear(hm, (s, s), align_corners=True)
+    hm = resize_bilinear(hm.astype(jnp.float32), (s, s), align_corners=True)
     if delimiter:
         hm = hm.at[..., :33].set(0.0)
     return preprocess_heatmaps(hm)
@@ -337,7 +339,7 @@ def get_heatmap(
 def estimate_landmarks(fan: FAN, params: Any, x: jnp.ndarray) -> jnp.ndarray:
     """(B, 98, 2) landmark coordinates x4 scale (port of
     ``estimate_landmark``, wing.py:289-298) via batched flat argmax."""
-    out = fan.apply({"params": params}, x * 0.5 + 0.5)
+    out = fan.apply({"params": params}, x * 0.5 + 0.5).astype(jnp.float32)
     hm = out[..., :NUM_LANDMARKS]
     hm = hm.at[..., :33].set(0.0)
     b, h, w, c = hm.shape

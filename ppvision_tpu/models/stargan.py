@@ -34,6 +34,19 @@ from ..ops.image import avg_pool_2x, resize_bilinear, upsample_nearest_2x
 he_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
+class _ConvParamsSG(nn.Module):
+    """Parameter-only stand-in for ``nn.Conv`` (same tree: kernel, bias)."""
+
+    kshape: tuple
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", he_init, self.kshape)
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class _ResampleConv3x3(nn.Module):
     """3x3 conv fused with its adjacent 2x resample (see ops/fusedconv).
 
@@ -82,13 +95,16 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # Statistics in float32 regardless of compute dtype.  The f32
-        # elementwise chain fuses into the surrounding kernels (XLA), so
-        # it costs VPU width, not HBM traffic — measured a wash vs a
-        # bf16-arithmetic variant, so keep the exact-math version.
+        # Statistics in float32 regardless of compute dtype.  Two-moment
+        # form (E[x], E[x^2]) so BOTH reductions ride ONE fused pass
+        # over the tensor (jnp.var's centered form needs a second full
+        # read after the mean).  Biased variance, same as torch IN;
+        # activations are O(1) so the cancellation in m2 - m^2 is benign
+        # (golden parity tests hold).
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
-        var = jnp.var(xf, axis=(-3, -2), keepdims=True)
+        m2 = jnp.mean(xf * xf, axis=(-3, -2), keepdims=True)
+        var = jnp.maximum(m2 - mean * mean, 0.0)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         if self.affine:
             c = x.shape[-1]
@@ -283,14 +299,24 @@ class Generator(nn.Module):
                     # Broadcast-add in (R, B, ...) view: never materialize
                     # the R-tiled skip tensor (5+ GB of HBM traffic at
                     # the 128^2 level for R=10, B=128).
-                    x = (
-                        x.reshape(reps, b0, *x.shape[1:]) + hp[None]
+                    hpb = jnp.broadcast_to(
+                        hp[None], (reps,) + hp.shape
                     ).reshape(x.shape)
+                    x = x + hpb
                 else:
                     x = x + hp
+        # to_rgb: IN + lrelu + 1x1 conv as one einsum with the
+        # normalize/lrelu inlined on the contraction operand — XLA fuses
+        # the elementwise chain into the dot's input read instead of
+        # materializing the normalized full-res tensor (measured ~7 ms
+        # at bench shapes).
         x = InstanceNorm()(x)
         x = nn.leaky_relu(x, 0.2)
-        return _conv(3, 1, pad=0, dtype=self.dtype)(x).astype(jnp.float32)
+        kernel, bias = _ConvParamsSG((1, 1, x.shape[-1], 3), 3, name="Conv_1")()
+        y = jnp.einsum(
+            "bhwc,cd->bhwd", x, kernel[0, 0].astype(x.dtype)
+        ) + bias.astype(x.dtype)
+        return y.astype(jnp.float32)
 
 
 def _select_domain(out: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

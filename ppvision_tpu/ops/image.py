@@ -109,9 +109,22 @@ def resize_nearest(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
 
 
 def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
-    """2x2 stride-2 mean pool of an NHWC tensor (reshape trick)."""
-    b, h, w, c = x.shape
-    return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+    """2x2 stride-2 mean pool of an NHWC tensor.
+
+    Four strided slices summed with f32 register accumulation: the
+    ``reshape(...).mean()`` formulation makes XLA materialize the full
+    PRE-pool tensor in f32 (2x the bytes of the largest tensors in the
+    FAN stage — measured ~5 ms/step at bench shapes); with slices the
+    convert happens in-register inside one fused loop that reads bf16
+    exactly once.
+    """
+    s = (
+        x[:, ::2, ::2].astype(jnp.float32)
+        + x[:, 1::2, ::2]
+        + x[:, ::2, 1::2]
+        + x[:, 1::2, 1::2]
+    )
+    return (s * 0.25).astype(x.dtype)
 
 
 def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
