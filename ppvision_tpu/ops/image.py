@@ -118,11 +118,15 @@ def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
     convert happens in-register inside one fused loop that reads bf16
     exactly once.
     """
+    b, h, w, c = x.shape
+    xr = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    # Fixed-index slices (not ::2 strided indexing, which lowers to
+    # gather) keep this a pure slice+add fusion.
     s = (
-        x[:, ::2, ::2].astype(jnp.float32)
-        + x[:, 1::2, ::2]
-        + x[:, ::2, 1::2]
-        + x[:, 1::2, 1::2]
+        xr[:, :, 0, :, 0].astype(jnp.float32)
+        + xr[:, :, 1, :, 0]
+        + xr[:, :, 0, :, 1]
+        + xr[:, :, 1, :, 1]
     )
     return (s * 0.25).astype(x.dtype)
 
