@@ -70,7 +70,7 @@ def main() -> None:
     # NaN/inf anywhere would poison the sum — sanity-gate the bench.
     assert warm == warm and abs(warm) != float("inf"), f"non-finite output: {warm}"
 
-    k = int(os.environ.get("PPVISION_BENCH_CHAIN", "4"))
+    k = int(os.environ.get("PPVISION_BENCH_CHAIN", "8"))
     times = []
     for _ in range(6):
         t0 = time.perf_counter()
