@@ -112,15 +112,37 @@ def lookup_corr_pyramid(
     # (corr.py:37-43: centroid (x,y) + stack(meshgrid(dy,dx))), so the
     # K^2 channel order is x-major; keep that exact layout so converted
     # update-block weights line up.
-    slow, fast = np.meshgrid(
-        np.linspace(-r, r, 2 * r + 1), np.linspace(-r, r, 2 * r + 1), indexing="ij"
-    )
-    delta = jnp.asarray(np.stack([slow, fast], axis=-1), jnp.float32)  # (x+slow, y+fast)
-
+    # Dense separable interpolation instead of per-point gathers: the
+    # hat function max(0, 1-|x-q|) over grid columns q IS zero-padded
+    # bilinear sampling, so the 9x9 window lookup becomes two tiny
+    # batched matmuls per level. Element gathers inside the refinement
+    # loop measured ~160 ms EACH on TPU (scalar HBM access); the dense
+    # form is VPU/MXU work on ~10 MFLOP operands.
+    off = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    n = b * h * w
+    cx = coords.reshape(n, 2)[:, 0]
+    cy = coords.reshape(n, 2)[:, 1]
     out = []
     for i, corr in enumerate(pyramid):
-        centroid = coords.reshape(b * h * w, 1, 1, 2) / (2**i)
-        sampled = bilinear_sampler(corr, centroid + delta[None])
+        hl, wl = corr.shape[1], corr.shape[2]
+        sx = cx / (2**i)
+        sy = cy / (2**i)
+        q = jnp.arange(wl, dtype=jnp.float32)
+        p = jnp.arange(hl, dtype=jnp.float32)
+        wcol = jnp.maximum(
+            0.0, 1.0 - jnp.abs(sx[:, None, None] + off[None, :, None] - q[None, None, :])
+        )  # (N, K, Wl): weight of column q for x-offset a
+        wrow = jnp.maximum(
+            0.0, 1.0 - jnp.abs(sy[:, None, None] + off[None, :, None] - p[None, None, :])
+        )  # (N, K, Hl)
+        t = jnp.einsum(
+            "npq,naq->nap", corr[..., 0], wcol, precision=jax.lax.Precision.HIGHEST
+        )
+        # sampled[n, a, b] = corr at (row cy+off[b], col cx+off[a]) —
+        # x-major K^2 order, matching the reference layout above.
+        sampled = jnp.einsum(
+            "nap,nbp->nab", t, wrow, precision=jax.lax.Precision.HIGHEST
+        )
         out.append(sampled.reshape(b, h, w, -1))
     return jnp.concatenate(out, axis=-1)
 

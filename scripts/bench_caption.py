@@ -85,14 +85,17 @@ def main():
         "value": round(b / dt, 1), "unit": "img/s", "sec_per_iter": round(dt, 4),
     }))
 
-    # --- inference: lens -> encoder -> beam-5 (vmapped per image) ---
-    def infer(imgs):
-        res = lens_apply(st.camera, consts, spec, imgs, mask_mode=cfg.mask_mode)
-        enc = encoder.apply(st.encoder, res.sensor, train=False)
+    # --- inference: lens -> encoder -> beam-5 (vmapped per image).
+    # Params enter as jit ARGUMENTS: closed-over params become embedded
+    # HLO constants and blow the tunnel's compile-request size limit
+    # (HTTP 413) at ResNet-101 scale.
+    def infer(s, imgs):
+        res = lens_apply(s.camera, consts, spec, imgs, mask_mode=cfg.mask_mode)
+        enc = encoder.apply(s.encoder, res.sensor, train=False)
 
         def one(e):
             toks, score = beam_search(
-                decoder, st.decoder, e[None], start_token=1, end_token=2,
+                decoder, s.decoder, e[None], start_token=1, end_token=2,
                 beam_size=5, max_steps=50,
             )
             return toks
@@ -100,10 +103,10 @@ def main():
         return jax.vmap(one)(enc)
 
     jinfer = jax.jit(infer)
-    toks = jinfer(images)
+    toks = jinfer(st, images)
 
     def infer_call(imgs):
-        return jinfer(imgs)
+        return jinfer(st, imgs)
 
     dt = chain_time(infer_call, images)
     print(json.dumps({
