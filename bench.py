@@ -32,7 +32,7 @@ BASELINE_IMG_S = 5000.0
 
 def main() -> None:
     from ppvision_tpu.config import CameraConfig, FaceDeIdConfig, ModelConfig
-    from ppvision_tpu.deid import _privacy_front, build_deid
+    from ppvision_tpu.deid import build_deid, deid_multi_style
 
     cfg = FaceDeIdConfig(model=ModelConfig(img_size=128), camera=CameraConfig(n=128))
     bundle = build_deid(jax.random.key(0), cfg)
@@ -44,20 +44,11 @@ def main() -> None:
     y_ref = jnp.zeros((r,), dtype=jnp.int32)
 
     def deid_multi(params, xs, xr, yr):
-        # Privacy front once per src batch (eval.py:57-62).
-        x_priv, masks = _privacy_front(bundle, params, xs)
-        # Styles once per ref batch (utils.py:173).
-        s_ref = bundle.models["style_encoder"].apply(
-            {"params": params.style_encoder}, xr, yr
-        )
-        # One generator output per (src, style): the generator's
-        # multi-style path encodes each source ONCE and decodes all r
-        # styles in one MXU-saturating call (models/stargan.py).
-        ss = jnp.repeat(s_ref, b, axis=0)  # r blocks of b
-        fakes = bundle.models["generator"].apply(
-            {"params": params.generator}, x_priv, ss, masks
-        )
-        return fakes.reshape(r, b, *fakes.shape[1:])
+        # Privacy front + generator encode once per src batch
+        # (eval.py:57-62), style encoder once per ref batch
+        # (utils.py:173), then the style-modulated decoder scans over
+        # the r styles (models/stargan.py::Generator.decode).
+        return deid_multi_style(bundle, params, xs, xr, yr)
 
     # The tunnel backend's block_until_ready does not synchronize with
     # device completion; a scalar host transfer is the only real sync.
@@ -70,7 +61,7 @@ def main() -> None:
     # NaN/inf anywhere would poison the sum — sanity-gate the bench.
     assert warm == warm and abs(warm) != float("inf"), f"non-finite output: {warm}"
 
-    k = int(os.environ.get("PPVISION_BENCH_CHAIN", "8"))
+    k = int(os.environ.get("PPVISION_BENCH_CHAIN", "16"))
     times = []
     for _ in range(6):
         t0 = time.perf_counter()

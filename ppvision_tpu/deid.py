@@ -34,7 +34,7 @@ from .optics.camera import (
     make_camera_constants,
 )
 
-__all__ = ["DeIdBundle", "build_deid", "deid_from_reference", "deid_from_latent"]
+__all__ = ["DeIdBundle", "build_deid", "deid_from_reference", "deid_from_latent", "deid_multi_style"]
 
 
 @struct.dataclass
@@ -140,3 +140,40 @@ def deid_from_latent(
     return bundle.models["generator"].apply(
         {"params": params.generator}, x_priv, s, masks
     )
+
+
+def deid_multi_style(
+    bundle: DeIdBundle,
+    params: DeIdParams,
+    x_src: jnp.ndarray,
+    x_ref: jnp.ndarray,
+    y_ref: jnp.ndarray,
+) -> jnp.ndarray:
+    """All (source, reference-style) anonymizations: (R, B, H, W, 3).
+
+    The eval workload (reference metrics/eval.py:57-93 generates
+    ``num_outs_per_domain`` outputs per source). Runs the privacy front
+    + generator ENCODER once at batch B, then ``lax.scan``s the
+    style-modulated decoder over the R styles — the high-pass skip-add
+    stays a same-shape add at batch B (the flat R*B formulation pays
+    ~16 ms/step of R-tiled skip broadcasts at bench shapes).
+    """
+    from .models.stargan import Generator
+
+    x_priv, masks = _privacy_front(bundle, params, x_src)
+    s_ref = bundle.models["style_encoder"].apply(
+        {"params": params.style_encoder}, x_ref, y_ref
+    )
+    gen = bundle.models["generator"]
+    z, hps = gen.apply(
+        {"params": params.generator}, x_priv, masks, method=Generator.encode
+    )
+
+    def body(_, s):
+        sb = jnp.broadcast_to(s[None], (z.shape[0], s.shape[-1]))
+        return None, gen.apply(
+            {"params": params.generator}, z, sb, hps, method=Generator.decode
+        )
+
+    _, fakes = jax.lax.scan(body, None, s_ref)
+    return fakes

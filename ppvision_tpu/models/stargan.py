@@ -233,7 +233,17 @@ def _channel_dims(img_size: int, max_conv_dim: int, num_blocks: int) -> list[int
 
 class Generator(nn.Module):
     """Encoder/decoder with style-modulated decoding and heatmap-guided
-    high-pass skips at 32/64/128 feature resolutions."""
+    high-pass skips at 32/64/128 feature resolutions.
+
+    Split into ``encode`` (style-independent: stem + ResBlks + the
+    high-pass skip tensors) and ``decode`` (AdainResBlks + to_rgb), so
+    multi-style generation can run ``encode`` once and ``lax.scan`` the
+    ``decode`` over styles at the source batch size — the skip-add is
+    then a same-shape add with no R-tiled broadcast (see deid.py).
+    Submodules are registered in ``setup`` under the same names the
+    compact version auto-generated, so checkpoints/torch imports are
+    unchanged.
+    """
 
     img_size: int = 256
     style_dim: int = 64
@@ -241,7 +251,86 @@ class Generator(nn.Module):
     w_hpf: float = 1.0
     dtype: Any = None
 
-    @nn.compact
+    def _shape(self):
+        repeat_num = int(math.log2(self.img_size)) - 4
+        if self.w_hpf > 0:
+            repeat_num += 1
+        return repeat_num, _channel_dims(self.img_size, self.max_conv_dim, repeat_num)
+
+    def setup(self):
+        rn, dims = self._shape()
+        setattr(self, "Conv_0", _conv(dims[0], 3, dtype=self.dtype))
+        for i in range(rn):
+            setattr(self, f"ResBlk_{i}", ResBlk(
+                dims[i], dims[i + 1], normalize=True, downsample=True,
+                dtype=self.dtype))
+        for j in range(2):
+            setattr(self, f"ResBlk_{rn + j}", ResBlk(
+                dims[-1], dims[-1], normalize=True, dtype=self.dtype))
+        for j in range(2):
+            setattr(self, f"AdainResBlk_{j}", AdainResBlk(
+                dims[-1], dims[-1], self.style_dim, w_hpf=self.w_hpf,
+                dtype=self.dtype))
+        for n, i in enumerate(reversed(range(rn))):
+            setattr(self, f"AdainResBlk_{2 + n}", AdainResBlk(
+                dims[i + 1], dims[i], self.style_dim, w_hpf=self.w_hpf,
+                upsample=True, dtype=self.dtype))
+        setattr(self, "InstanceNorm_0", InstanceNorm())
+        setattr(self, "Conv_1", _ConvParamsSG((1, 1, dims[0], 3), 3))
+
+    def encode(self, x, masks=None):
+        """Style-independent half -> (bottleneck z, ((size, hp), ...))."""
+        rn, _ = self._shape()
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = getattr(self, "Conv_0")(x)
+        cache = []
+        for i in range(rn):
+            if masks is not None and x.shape[-3] in (32, 64, 128):
+                cache.append((x.shape[-3], x - jnp.mean(x).astype(x.dtype)))
+            x = getattr(self, f"ResBlk_{i}")(x)
+        for j in range(2):
+            x = getattr(self, f"ResBlk_{rn + j}")(x)
+        hps = []
+        for size, feat in cache:
+            mask = masks[0] if size == 32 else masks[1]
+            mask = resize_bilinear(mask, (size, size)).astype(feat.dtype)
+            hps.append((size, highpass(mask * feat, self.w_hpf)))
+        return x, tuple(hps)
+
+    def decode(self, z, s, hps=()):
+        """Style-modulated half; ``z`` batch may be an R-multiple of the
+        hp batch (R contiguous blocks)."""
+        rn, _ = self._shape()
+        x = z if self.dtype is None else z.astype(self.dtype)
+        if self.dtype is not None:
+            s = s.astype(self.dtype)
+        hp_by_size = dict(hps)
+        for j in range(2):
+            x = getattr(self, f"AdainResBlk_{j}")(x, s)
+        for n in range(rn):
+            x = getattr(self, f"AdainResBlk_{2 + n}")(x, s)
+            hp = hp_by_size.get(x.shape[-3])
+            if hp is not None:
+                if x.shape[0] != hp.shape[0]:
+                    reps = x.shape[0] // hp.shape[0]
+                    x = x + jnp.broadcast_to(
+                        hp[None], (reps,) + hp.shape
+                    ).reshape(x.shape)
+                else:
+                    x = x + hp
+        # to_rgb: IN + lrelu + 1x1 conv as one einsum with the
+        # normalize/lrelu inlined on the contraction operand — XLA
+        # fuses the chain into the dot's input read instead of
+        # materializing the normalized full-res tensor.
+        x = getattr(self, "InstanceNorm_0")(x)
+        x = nn.leaky_relu(x, 0.2)
+        kernel, bias = getattr(self, "Conv_1")()
+        y = jnp.einsum(
+            "bhwc,cd->bhwd", x, kernel[0, 0].astype(x.dtype)
+        ) + bias.astype(x.dtype)
+        return y.astype(jnp.float32)
+
     def __call__(self, x, s, masks=None):
         """Anonymize ``x`` with style codes ``s``.
 
@@ -249,74 +338,21 @@ class Generator(nn.Module):
         shape (R*B, style_dim), laid out as R contiguous blocks of B
         (``jnp.repeat(styles, B, axis=0)``).  The style-independent
         encoder (and the high-pass skip features) then run ONCE at
-        batch B and only the style-modulated decoder runs at R*B —
-        identical outputs to calling with pre-tiled inputs, at roughly
-        half the FLOPs for large R (the de-id eval generates
-        ``num_outs_per_domain=10`` outputs per source, eval.py:66-93).
+        batch B and only the style-modulated decoder runs at R*B.
+        For large R prefer encode + a ``lax.scan`` over styles of
+        decode (deid.deid_multi_style) — identical outputs without the
+        R-tiled skip broadcasts.
         """
-        repeat_num = int(math.log2(self.img_size)) - 4
-        if self.w_hpf > 0:
-            repeat_num += 1
-        dims = _channel_dims(self.img_size, self.max_conv_dim, repeat_num)
-
         b0 = x.shape[0]
         if s.shape[0] % b0 != 0:
             raise ValueError(
                 f"style batch {s.shape[0]} must be a multiple of image batch {b0}"
             )
         reps = s.shape[0] // b0
-
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-            s = s.astype(self.dtype)
-        x = _conv(dims[0], 3, dtype=self.dtype)(x)
-        cache = {}
-        # Encode (style-independent; batch B).
-        for i in range(repeat_num):
-            if masks is not None and x.shape[-3] in (32, 64, 128):
-                cache[x.shape[-3]] = x - jnp.mean(x).astype(x.dtype)
-            x = ResBlk(dims[i], dims[i + 1], normalize=True, downsample=True,
-                       dtype=self.dtype)(x)
-        for _ in range(2):
-            x = ResBlk(dims[-1], dims[-1], normalize=True, dtype=self.dtype)(x)
+        z, hps = self.encode(x, masks)
         if reps > 1:
-            x = jnp.tile(x, (reps, 1, 1, 1))
-        # Decode (style-modulated; batch R*B).
-        for _ in range(2):
-            x = AdainResBlk(dims[-1], dims[-1], self.style_dim, w_hpf=self.w_hpf,
-                            dtype=self.dtype)(x, s)
-        for i in reversed(range(repeat_num)):
-            x = AdainResBlk(
-                dims[i + 1], dims[i], self.style_dim, w_hpf=self.w_hpf,
-                upsample=True, dtype=self.dtype,
-            )(x, s)
-            if masks is not None and x.shape[-3] in (32, 64, 128):
-                size = x.shape[-3]
-                mask = masks[0] if size == 32 else masks[1]
-                mask = resize_bilinear(mask, (size, size)).astype(x.dtype)
-                hp = highpass(mask * cache[size], self.w_hpf)
-                if reps > 1:
-                    # Broadcast-add in (R, B, ...) view: never materialize
-                    # the R-tiled skip tensor (5+ GB of HBM traffic at
-                    # the 128^2 level for R=10, B=128).
-                    hpb = jnp.broadcast_to(
-                        hp[None], (reps,) + hp.shape
-                    ).reshape(x.shape)
-                    x = x + hpb
-                else:
-                    x = x + hp
-        # to_rgb: IN + lrelu + 1x1 conv as one einsum with the
-        # normalize/lrelu inlined on the contraction operand — XLA fuses
-        # the elementwise chain into the dot's input read instead of
-        # materializing the normalized full-res tensor (measured ~7 ms
-        # at bench shapes).
-        x = InstanceNorm()(x)
-        x = nn.leaky_relu(x, 0.2)
-        kernel, bias = _ConvParamsSG((1, 1, x.shape[-1], 3), 3, name="Conv_1")()
-        y = jnp.einsum(
-            "bhwc,cd->bhwd", x, kernel[0, 0].astype(x.dtype)
-        ) + bias.astype(x.dtype)
-        return y.astype(jnp.float32)
+            z = jnp.tile(z, (reps, 1, 1, 1))
+        return self.decode(z, s, hps)
 
 
 def _select_domain(out: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

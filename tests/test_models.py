@@ -144,3 +144,32 @@ def test_generator_multistyle_matches_tiled(keys):
     # Mismatched style batch is rejected loudly.
     with pytest.raises(ValueError, match="multiple"):
         gen.apply({"params": params}, x, jnp.zeros((b + 1, style_dim)), masks)
+
+
+def test_deid_multi_style_matches_flat_generator():
+    """The scan-over-styles decode (deid.deid_multi_style) must match the
+    flat R*B multi-style Generator.__call__ path."""
+    import numpy as np
+
+    from ppvision_tpu.config import CameraConfig, FaceDeIdConfig, ModelConfig
+    from ppvision_tpu.deid import build_deid, deid_from_reference, deid_multi_style
+
+    cfg = FaceDeIdConfig(model=ModelConfig(img_size=64, style_dim=16, latent_dim=8,
+                                           max_conv_dim=64),
+                         camera=CameraConfig(n=32))
+    bundle = build_deid(jax.random.key(0), cfg)
+    b, r = 2, 3
+    xs = jax.random.uniform(jax.random.key(1), (b, 64, 64, 3))
+    xr = jax.random.uniform(jax.random.key(2), (r, 64, 64, 3))
+    yr = jnp.zeros((r,), jnp.int32)
+
+    fakes = deid_multi_style(bundle, bundle.params, xs, xr, yr)
+    assert fakes.shape == (r, b, 64, 64, 3)
+    # Flat path, one style at a time (exact reference semantics).
+    for i in range(r):
+        want = deid_from_reference(
+            bundle, bundle.params, xs, jnp.tile(xr[i][None], (b, 1, 1, 1)), yr[i] * jnp.ones((b,), jnp.int32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(fakes[i]), np.asarray(want), rtol=0, atol=5e-2
+        )
