@@ -133,18 +133,28 @@ def calculate_metrics(
     embed_fn = make_embed_fn(id_net, arcface_params)
     id_cos_fn = jax.jit(lambda a, b: face_id_cosine(embed_fn, a, b))
 
-    # Multi-output fast path: camera + heatmaps once per source batch,
-    # all num_outs styles decoded in one generator call (the generator's
-    # encode-once multi-style path) — identical outputs to the per-out
-    # loop the reference runs (eval.py:66-93).
+    # Multi-output fast path: camera + heatmaps + generator ENCODE once
+    # per source batch, then the style-modulated decoder scans over the
+    # num_outs styles (models/stargan.py::Generator.decode) — identical
+    # outputs to the per-out loop the reference runs (eval.py:66-93).
     from ..deid import _privacy_front
+    from ..models.stargan import Generator
 
     def _gen_multi(p, xs, styles_rb):
         x_priv, masks = _privacy_front(bundle, p, xs)
-        fakes = bundle.models["generator"].apply(
-            {"params": p.generator}, x_priv, styles_rb, masks
+        gen = bundle.models["generator"]
+        z, hps = gen.apply(
+            {"params": p.generator}, x_priv, masks, method=Generator.encode
         )
-        return fakes.reshape(-1, xs.shape[0], *fakes.shape[1:])
+        s_r = styles_rb.reshape(-1, xs.shape[0], styles_rb.shape[-1])
+
+        def body(_, sb):
+            return None, gen.apply(
+                {"params": p.generator}, z, sb, hps, method=Generator.decode
+            )
+
+        _, fakes = jax.lax.scan(body, None, s_r)
+        return fakes
 
     @jax.jit
     def gen_lat_multi(p, xs, zs, y):
