@@ -61,10 +61,18 @@ class AttentionLSTMDecoder(nn.Module):
         self.fc = nn.Dense(self.vocab_size, kernel_init=u01)
         self.drop = nn.Dropout(self.dropout)
 
-    def attend(self, enc: jnp.ndarray, h: jnp.ndarray):
-        """Additive attention (models.py:75-89): enc (B, P, E), h (B, D)."""
+    def attend(self, enc: jnp.ndarray, h: jnp.ndarray, enc_proj=None):
+        """Additive attention (models.py:75-89): enc (B, P, E), h (B, D).
+
+        ``enc_proj`` = att_enc(enc), loop-invariant across decode steps
+        — pass it precomputed when decoding (the projection is ~174 GF
+        per step at eval shapes; recomputing it inside the scan was the
+        dominant cost of the whole caption train step).
+        """
+        if enc_proj is None:
+            enc_proj = self.att_enc(enc)
         att = self.att_full(
-            nn.relu(self.att_enc(enc) + self.att_dec(h)[:, None, :])
+            nn.relu(enc_proj + self.att_dec(h)[:, None, :])
         )[..., 0]
         alpha = jax.nn.softmax(att, axis=1)
         ctx = jnp.sum(enc * alpha[..., None], axis=1)
@@ -82,9 +90,9 @@ class AttentionLSTMDecoder(nn.Module):
         mean = jnp.mean(enc, axis=1)
         return self.init_h(mean), self.init_c(mean)
 
-    def step(self, enc, emb_t, h, c, deterministic: bool = True):
+    def step(self, enc, emb_t, h, c, deterministic: bool = True, enc_proj=None):
         """One decode step: attention -> gate -> LSTM -> vocab scores."""
-        ctx, alpha = self.attend(enc, h)
+        ctx, alpha = self.attend(enc, h, enc_proj)
         gate = jax.nn.sigmoid(self.f_beta(h))
         ctx = gate * ctx
         h, c = self.lstm_step(jnp.concatenate([emb_t, ctx], axis=-1), h, c)
@@ -105,12 +113,13 @@ class AttentionLSTMDecoder(nn.Module):
 
         embeddings = self.embedding(captions)  # (B, L, emb)
         h, c = self.init_state(enc)
+        enc_proj = self.att_enc(enc)  # hoisted out of the decode scan
 
         def scan_step(carry, t):
             h, c = carry
             active = (t < decode_lengths)[:, None].astype(enc.dtype)
             preds, alpha, h_new, c_new = self.step(
-                enc, embeddings[:, t, :], h, c, deterministic
+                enc, embeddings[:, t, :], h, c, deterministic, enc_proj
             )
             # Inactive rows keep their state and emit zeros, matching the
             # reference's shrinking-batch semantics.
@@ -177,6 +186,10 @@ def beam_search(
     k = beam_size
     enc = encoder_out.reshape(1, -1, decoder.encoder_dim)
     enc = jnp.broadcast_to(enc, (k, enc.shape[1], enc.shape[2]))
+    # att_enc(enc) is step-invariant: project once, reuse in every beam step.
+    enc_proj = decoder.apply(
+        {"params": params}, enc, method=lambda m, e: m.att_enc(e)
+    )
 
     def apply_step(h, c, tokens_t):
         emb = decoder.apply(
@@ -184,8 +197,8 @@ def beam_search(
         )
         preds, alpha, h, c = decoder.apply(
             {"params": params},
-            enc, emb, h, c, True,
-            method=lambda m, e, x, hh, cc, det: m.step(e, x, hh, cc, det),
+            enc, emb, h, c, True, enc_proj,
+            method=lambda m, e, x, hh, cc, det, ep: m.step(e, x, hh, cc, det, ep),
         )
         return jax.nn.log_softmax(preds, axis=-1), h, c
 
