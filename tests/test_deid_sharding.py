@@ -45,4 +45,4 @@ def test_deid_multi_style_shard_invariant():
     xr_rep = jax.device_put(xr, NamedSharding(mesh, P()))
     got = np.asarray(fn(bundle.params, xs_sh, xr_rep, yr))
 
-    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-4)
