@@ -14,8 +14,13 @@ Throughput = anonymized images produced per second.  Per-image cost is
 generator-dominated (65.9 GF/img of the 68.5 GF/img total — see
 PERF.md), so this number sits close to the chip's matmul roofline.
 
-Prints ONE JSON line.  Baseline: >=5000 img/s/chip (BASELINE.json).
-Env knobs: PPVISION_BENCH_SRC (default 32 sources/batch),
+Prints ONE JSON line: the headline amortized number (10 styles/source,
+the reference's own eval workload) plus ``single_style_img_s`` — the
+1-output-per-source formulation — so both formulations are auditable
+from BENCH_r*.json (PERF.md derives the 107 GF/output roofline that
+bounds the single-style number at ~1,839 img/s at 100% MFU).
+Baseline: >=5000 img/s/chip (BASELINE.json).
+Env knobs: PPVISION_BENCH_SRC (default 128 sources/batch),
 PPVISION_BENCH_OUTS (default 10 styles/source).
 """
 
@@ -62,16 +67,28 @@ def main() -> None:
     assert warm == warm and abs(warm) != float("inf"), f"non-finite output: {warm}"
 
     k = int(os.environ.get("PPVISION_BENCH_CHAIN", "16"))
-    times = []
-    for _ in range(6):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(k):
-            out = fn(bundle.params, x_src, x_ref, y_ref)
-        float(out)  # sync the whole chain
-        times.append((time.perf_counter() - t0) / k)
-    dt = min(times)
-    img_s = (b * r) / dt
+
+    def chain_time(f, *args) -> float:
+        times = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(k):
+                out = f(*args)
+            float(out)  # sync the whole chain
+            times.append((time.perf_counter() - t0) / k)
+        return min(times)
+
+    img_s = (b * r) / chain_time(fn, bundle.params, x_src, x_ref, y_ref)
+
+    # Second formulation: ONE output per source (single-style), the
+    # strictest per-image accounting (no amortization of the privacy
+    # front or encode over styles).
+    x_ref1 = x_ref[:1]
+    y_ref1 = y_ref[:1]
+    warm1 = float(fn(bundle.params, x_src, x_ref1, y_ref1))
+    assert warm1 == warm1 and abs(warm1) != float("inf")
+    single_img_s = b / chain_time(fn, bundle.params, x_src, x_ref1, y_ref1)
 
     print(
         json.dumps(
@@ -83,6 +100,7 @@ def main() -> None:
                 "value": round(img_s, 1),
                 "unit": "img/s",
                 "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
+                "single_style_img_s": round(single_img_s, 1),
             }
         )
     )

@@ -37,6 +37,12 @@ def build_parser():
     pp.add_argument("--min_word_freq", type=int, default=5)
     pp.add_argument("--output_folder", default="data/caption")
     pp.add_argument("--max_len", type=int, default=50)
+    pp.add_argument(
+        "--custom", action="store_true",
+        help="lab-subset builder: first --train_limit readable train images "
+        "-> TRAIN, rest -> VAL (reference create_input_files_custom)",
+    )
+    pp.add_argument("--train_limit", type=int, default=500)
 
     tr = sub.add_parser("train")
     _add_common(tr)
@@ -126,15 +132,22 @@ def run_train(args):
     step_fn = make_caption_train_step(
         encoder, decoder, cfg, spec, consts, camera_train=args.camera_train
     )
+    # Data parallelism: batch axis over the mesh, params/optimizer state
+    # replicated — the same SPMD wiring as the GAN trainer
+    # (cli/main.py run_train; SURVEY §7.4 "batch over ICI from day one").
+    # The reference captioner was single-GPU (Image_Caption/train.py:37).
+    from ..parallel.mesh import make_mesh, replicate, shard_batch
+
+    mesh = make_mesh(axis_names=("data",))
+    state = jax.device_put(state, replicate(mesh))
     writer = MetricWriter(args.out_dir, log_interval=50)
     best_bleu4, step = 0.0, 0
     rng = jax.random.key(1)
+    print(f"Start caption training on {len(mesh.devices.flat)} device(s)...")
     for epoch in range(start_epoch, cfg.epochs):
         for batch in caption_batches(train_ds, cfg.batch_size, shuffle=True, seed=epoch):
             rng, sub = jax.random.split(rng)
-            state, metrics = step_fn(
-                state, {k: jnp.asarray(v) for k, v in batch.items()}, sub
-            )
+            state, metrics = step_fn(state, shard_batch(mesh, batch), sub)
             step += 1
             writer.write(step, metrics)
         res = evaluate_captions(
@@ -223,13 +236,22 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     np.random.seed(0)
     if args.cmd == "preprocess":
-        from ..data.caption import create_input_files
+        if args.custom:
+            from ..data.caption import create_input_files_custom
 
-        create_input_files(
-            args.dataset, args.karpathy_json, args.image_folder,
-            args.captions_per_image, args.min_word_freq, args.output_folder,
-            args.max_len,
-        )
+            create_input_files_custom(
+                args.dataset, args.karpathy_json, args.image_folder,
+                args.captions_per_image, args.min_word_freq, args.output_folder,
+                args.max_len, train_limit=args.train_limit,
+            )
+        else:
+            from ..data.caption import create_input_files
+
+            create_input_files(
+                args.dataset, args.karpathy_json, args.image_folder,
+                args.captions_per_image, args.min_word_freq, args.output_folder,
+                args.max_len,
+            )
     elif args.cmd == "train":
         run_train(args)
     elif args.cmd == "eval":

@@ -23,7 +23,13 @@ from typing import Iterator
 
 import numpy as np
 
-__all__ = ["create_input_files", "CaptionDataset", "caption_batches", "base_name"]
+__all__ = [
+    "create_input_files",
+    "create_input_files_custom",
+    "CaptionDataset",
+    "caption_batches",
+    "base_name",
+]
 
 
 def base_name(dataset: str, captions_per_image: int, min_word_freq: int) -> str:
@@ -71,6 +77,84 @@ def create_input_files(
             splits["VAL"].append((path, captions))
         elif split == "test":
             splits["TEST"].append((path, captions))
+
+    _write_outputs(
+        splits, word_freq, dataset, captions_per_image, min_word_freq,
+        output_folder, max_len, image_size, seed,
+    )
+
+
+def create_input_files_custom(
+    dataset: str,
+    karpathy_json_path: str,
+    image_folder: str,
+    captions_per_image: int,
+    min_word_freq: int,
+    output_folder: str,
+    max_len: int = 100,
+    image_size: int = 256,
+    seed: int = 123,
+    train_limit: int = 500,
+) -> None:
+    """Lab-subset builder (reference ``utils.py::create_input_files_custom``
+    ~:153-307): ONLY the Karpathy train split is used — the first
+    ``train_limit`` readable images become TRAIN and the remainder VAL;
+    no TEST files are written.  The word map still counts every caption
+    in the JSON, exactly like the reference."""
+    from PIL import Image
+
+    assert dataset in {"coco", "flickr8k", "flickr30k"}
+    with open(karpathy_json_path) as f:
+        data = json.load(f)
+
+    splits: dict[str, list] = {"TRAIN": [], "VAL": []}
+    word_freq: Counter = Counter()
+    n_readable = 0
+    for img in data["images"]:
+        captions = []
+        for c in img["sentences"]:
+            word_freq.update(c["tokens"])
+            if len(c["tokens"]) <= max_len:
+                captions.append(c["tokens"])
+        if not captions or img["split"] != "train":
+            continue
+        path = (
+            os.path.join(image_folder, img["filepath"], img["filename"])
+            if dataset == "coco"
+            else os.path.join(image_folder, img["filename"])
+        )
+        # Readability gates the TRAIN/VAL cut (reference ~:208-218:
+        # ``limit`` only advances past images imread can open).
+        try:
+            with Image.open(path) as im:
+                im.verify()
+        except Exception:  # noqa: BLE001
+            continue
+        split = "TRAIN" if n_readable < train_limit else "VAL"
+        splits[split].append((path, captions))
+        n_readable += 1
+
+    _write_outputs(
+        splits, word_freq, dataset, captions_per_image, min_word_freq,
+        output_folder, max_len, image_size, seed,
+    )
+
+
+def _write_outputs(
+    splits: dict[str, list],
+    word_freq: Counter,
+    dataset: str,
+    captions_per_image: int,
+    min_word_freq: int,
+    output_folder: str,
+    max_len: int,
+    image_size: int,
+    seed: int,
+) -> None:
+    """Word map + per-split HDF5/caption/caplen files (shared tail of
+    both builders, reference utils.py:60-148 / ~:230-307)."""
+    import h5py
+    from PIL import Image
 
     words = [w for w in word_freq if word_freq[w] > min_word_freq]
     word_map = {w: i + 1 for i, w in enumerate(words)}

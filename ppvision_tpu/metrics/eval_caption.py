@@ -23,7 +23,7 @@ import numpy as np
 
 from ..config import CaptionConfig
 from ..metrics.psnr_ssim import psnr, ssim
-from ..models.captioner import AttentionLSTMDecoder, beam_search
+from ..models.captioner import AttentionLSTMDecoder, beam_search_batch
 from ..models.resnet import CaptionEncoder
 from ..optics.lens import LensConstants, LensParams, LensSpec, lens_apply
 from ..ops.image import resize_bilinear
@@ -57,6 +57,7 @@ def evaluate_captions(
     camera_mode: str = "lens",  # 'lens' | 'none' | 'lowres'
     max_images: int | None = None,
     out_dir: str | None = None,
+    batch_size: int = 16,
 ) -> dict[str, float]:
     beam_size = beam_size or cfg.beam_size
     rev = {v: k for k, v in word_map.items()}
@@ -71,11 +72,19 @@ def evaluate_captions(
             lambda x: lens_apply(lp, lc, ls, x, mask_mode=cfg.mask_mode).sensor
         )
 
+    # One device program per image BATCH: vmapped k-beam search decodes
+    # batch_size*beam_size beams in lockstep (the reference host-loops
+    # bs=1 over images, eval_total.py:96-175 — identical per-image
+    # results, no host loop in the hot path).
     bs_fn = jax.jit(
-        lambda enc_out: beam_search(
+        lambda enc_out: beam_search_batch(
             decoder, dec_params, enc_out, start, end, beam_size, cfg.max_caption_len
         )
     )
+    # Per-image PSNR/SSIM within the batched call (reference computes
+    # per image then averages, eval_total.py:78-85).
+    psnr_b = jax.jit(jax.vmap(lambda a, b: psnr(a[None], b[None])))
+    ssim_b = jax.jit(jax.vmap(lambda a, b: ssim(a[None], b[None])))
 
     references, hypotheses = [], []
     psnrs, ssims = [], []
@@ -84,26 +93,30 @@ def evaluate_captions(
     if max_images is not None:
         n_images = min(n_images, max_images)
 
-    for i in range(n_images):
-        img, _, _, allcaps = dataset[i * cpi]
-        x = jnp.asarray(img)[None]
+    for lo in range(0, n_images, batch_size):
+        idx = range(lo, min(lo + batch_size, n_images))
+        imgs, allcaps_b = [], []
+        for i in idx:
+            img, _, _, allcaps = dataset[i * cpi]
+            imgs.append(img)
+            allcaps_b.append(allcaps)
+        x = jnp.asarray(np.stack(imgs))
         if camera_mode == "lens" and cam_fn is not None:
             sensor = cam_fn(x)
-            psnrs.append(float(psnr(x, sensor)))
-            ssims.append(float(ssim(x, sensor)))
+            psnrs.extend(np.asarray(psnr_b(x, sensor)).tolist())
+            ssims.extend(np.asarray(ssim_b(x, sensor)).tolist())
         elif camera_mode == "lowres":
             # 16x16 -> full-res baseline (reference eval_no_camera.py:29).
             h = x.shape[1]
             sensor = resize_bilinear(resize_bilinear(x, (16, 16)), (h, h))
         else:
             sensor = x
-        enc_out = enc_fn(sensor)
-        tokens, _ = bs_fn(enc_out)
-        hypotheses.append(_decode_tokens(np.asarray(tokens), rev, stop_ids))
-        refs = [
-            _decode_tokens(np.asarray(c), rev, stop_ids) for c in allcaps
-        ]
-        references.append(refs)
+        tokens_b, _ = bs_fn(enc_fn(sensor))
+        for tokens, allcaps in zip(np.asarray(tokens_b), allcaps_b):
+            hypotheses.append(_decode_tokens(tokens, rev, stop_ids))
+            references.append(
+                [_decode_tokens(np.asarray(c), rev, stop_ids) for c in allcaps]
+            )
 
     results = bleu_scores(references, hypotheses)
     results["meteor"] = meteor_avg(references, hypotheses)

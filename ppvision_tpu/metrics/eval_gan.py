@@ -22,9 +22,9 @@ import numpy as np
 
 from ..data.face import eval_batches, list_images
 from ..deid import DeIdBundle, DeIdParams, deid_from_latent, deid_from_reference
-from .face_id import IResNet, face_id_cosine, make_embed_fn
+from .face_id import IResNet, make_embed_fn
 from .fid import InceptionV3, collect_activations, fid_from_activations
-from .lpips import LPIPS
+from .lpips import LPIPS, make_pairwise_lpips_fn
 
 __all__ = ["calculate_metrics", "load_metric_nets"]
 
@@ -120,18 +120,27 @@ def calculate_metrics(
     cfg = bundle.cfg
     img_size = cfg.model.img_size
     domains = _domains(val_root)
-    lpips = LPIPS()
     if lpips_params is None:
         x0 = jnp.zeros((1, img_size, img_size, 3))
-        lpips_params = lpips.init(jax.random.key(0), x0, x0)["params"]
-    lpips_fn = jax.jit(lambda a, b: lpips.apply({"params": lpips_params}, a, b))
+        lpips_params = LPIPS().init(jax.random.key(0), x0, x0)["params"]
+    # All C(num_outs, 2) pairwise LPIPS values in ONE jitted call per
+    # source batch (features computed once per output).
+    lpips_pairs_fn = make_pairwise_lpips_fn(lpips_params, num_outs)
     id_net = IResNet()
     if arcface_params is None:
         arcface_params = id_net.init(jax.random.key(2), jnp.zeros((1, 112, 112, 3)))[
             "params"
         ]
     embed_fn = make_embed_fn(id_net, arcface_params)
-    id_cos_fn = jax.jit(lambda a, b: face_id_cosine(embed_fn, a, b))
+
+    @jax.jit
+    def id_cos_multi(x_src, fakes):
+        """Identity leakage for all outputs at once: (R, B, H, W, 3) ->
+        (R,) mean cosine(src, anonymized) per output."""
+        r, b = fakes.shape[0], fakes.shape[1]
+        es = embed_fn(x_src)
+        ef = embed_fn(fakes.reshape((r * b,) + fakes.shape[2:])).reshape(r, b, -1)
+        return jnp.mean(jnp.sum(es[None] * ef, axis=-1), axis=1)
 
     # Multi-output fast path: camera + heatmaps + generator ENCODE once
     # per source batch, then the style-modulated decoder scans over the
@@ -179,7 +188,9 @@ def calculate_metrics(
 
     rng = np.random.default_rng(seed)
     results: dict[str, float] = {}
-    fake_sets: dict[str, list[np.ndarray]] = {d: [] for d in domains}
+    # Fakes accumulate PER TASK (src->trg) for per-task FID, exactly as
+    # the reference's calculate_fid_for_all_tasks (eval.py:123-148).
+    fake_sets: dict[str, list[np.ndarray]] = {}
 
     for trg_idx, trg in enumerate(domains):
         for src in domains:
@@ -218,21 +229,19 @@ def calculate_metrics(
                         ]
                     ).reshape(num_outs, batch.shape[0], img_size, img_size, 3)
                     fakes = gen_ref_multi(params, x_src, jnp.asarray(xr), y)
-                outs = list(fakes)
-                # Mean pairwise LPIPS among the generated outputs.
-                for i in range(num_outs - 1):
-                    for j in range(i + 1, num_outs):
-                        lpips_vals.append(float(lpips_fn(outs[i], outs[j])))
+                # Mean pairwise LPIPS among the generated outputs — one
+                # jitted call for all C(num_outs, 2) pairs.
+                lpips_vals.extend(np.asarray(lpips_pairs_fn(fakes)).tolist())
                 # Identity leakage: cosine(src, anonymized) — lower is
                 # better de-identification (BASELINE parity metric).
-                for o in outs:
-                    id_vals.append(float(id_cos_fn(x_src, o)))
-                fake_sets[trg].extend(np.asarray(o) for o in outs)
+                id_vals.extend(np.asarray(id_cos_multi(x_src, fakes)).tolist())
+                outs_np = np.asarray(fakes)
+                fake_sets.setdefault((src, trg), []).extend(outs_np)
                 if out_dir:
                     os.makedirs(os.path.join(out_dir, task), exist_ok=True)
                     from PIL import Image
 
-                    arr = np.clip(np.asarray(outs[0]) * 255, 0, 255).astype(np.uint8)
+                    arr = np.clip(outs_np[0] * 255, 0, 255).astype(np.uint8)
                     for k, im in enumerate(arr):
                         Image.fromarray(im).save(
                             os.path.join(out_dir, task, f"{n_seen}_{k}.png")
@@ -240,31 +249,54 @@ def calculate_metrics(
             results[f"LPIPS_{mode}/{task}"] = float(np.mean(lpips_vals)) if lpips_vals else 0.0
             results[f"FaceIDcos_{mode}/{task}"] = float(np.mean(id_vals)) if id_vals else 0.0
 
-    # FID real-vs-fake per target domain.
+    # FID real-vs-fake per (src -> trg) TASK, exactly as the reference's
+    # calculate_fid_for_all_tasks (eval.py:123-148).  The pooled
+    # per-target-domain variant rides along as an extra; with 2 domains
+    # (one source per target) the two are identical.
+    from ..data.face import IMAGENET_MEAN, IMAGENET_STD
+
     inception = InceptionV3()
     if inception_params is None:
         inception_params = inception.init(
             jax.random.key(1), jnp.zeros((1, 299, 299, 3))
         )
-    for trg in domains:
-        fakes = fake_sets[trg]
-        if not fakes:
-            continue
+
+    def _fake_acts(fakes):
         fake_299 = [
-            np.asarray(
-                jax.image.resize(jnp.asarray(f), (f.shape[0], 299, 299, 3), "bilinear")
+            (
+                np.asarray(
+                    jax.image.resize(
+                        jnp.asarray(f), (f.shape[0], 299, 299, 3), "bilinear"
+                    )
+                )
+                - IMAGENET_MEAN
             )
+            / IMAGENET_STD
             for f in fakes
         ]
-        from ..data.face import IMAGENET_MEAN, IMAGENET_STD
+        return collect_activations(inception, inception_params, fake_299)
 
-        fake_299 = [(f - IMAGENET_MEAN) / IMAGENET_STD for f in fake_299]
-        real = eval_batches(
-            os.path.join(val_root, trg), img_size, batch_size, imagenet_normalize=True
+    real_acts: dict[str, np.ndarray] = {}
+    domain_fake_acts: dict[str, list[np.ndarray]] = {}
+    for (src, trg), fakes in sorted(fake_sets.items()):
+        if not fakes:
+            continue
+        if trg not in real_acts:
+            real = eval_batches(
+                os.path.join(val_root, trg), img_size, batch_size,
+                imagenet_normalize=True,
+            )
+            real_acts[trg] = collect_activations(inception, inception_params, real)
+        acts_fake = _fake_acts(fakes)
+        results[f"FID_{mode}/{src}2{trg}"] = fid_from_activations(
+            real_acts[trg], acts_fake
         )
-        acts_real = collect_activations(inception, inception_params, real)
-        acts_fake = collect_activations(inception, inception_params, fake_299)
-        results[f"FID_{mode}/{trg}"] = fid_from_activations(acts_real, acts_fake)
+        domain_fake_acts.setdefault(trg, []).append(acts_fake)
+    for trg, acts in domain_fake_acts.items():
+        if len(acts) > 1:  # pooled == per-task when there is one source
+            results[f"FID_domain_{mode}/{trg}"] = fid_from_activations(
+                real_acts[trg], np.concatenate(acts)
+            )
 
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

@@ -12,6 +12,14 @@ de-identification) or how stable identity is across reruns (parity).
 Pretrained weights load from an insightface ``iresnet50`` torch
 state_dict via ``arcface_variables_from_torch``; with random weights
 only relative comparisons are meaningful.
+
+Preprocessing caveat: ``make_embed_fn`` resizes the whole frame to
+112x112 — it does NOT run insightface's 5-landmark similarity-align
+crop, so absolute cosines are not comparable to published ArcFace
+verification numbers.  As a parity/leakage metric (the same pipeline
+applied to both sides of every comparison) it is self-consistent,
+which is all BASELINE.json's "face-ID-cosine parity" requires.  For
+aligned crops, compose with ``models.align.FaceAligner`` upstream.
 """
 
 from __future__ import annotations

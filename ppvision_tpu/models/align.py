@@ -115,8 +115,10 @@ def _pad_mirror(img: np.ndarray, lm: np.ndarray):
     h, w, _ = img.shape
     img = np.pad(img, ((h // 2, h // 2), (w // 2, w // 2), (0, 0)), "reflect")
     small = cv2.resize(img, (w, h)).astype(np.float32)
-    sigma = max(h // 100, 1)
-    blurred = cv2.GaussianBlur(small, (0, 0), sigma)
+    # sigma = H//100 like the reference (wing.py:437); skimage treats
+    # sigma 0 as identity — the 2x down/up resample already softens.
+    sigma = h // 100
+    blurred = cv2.GaussianBlur(small, (0, 0), sigma) if sigma > 0 else small
     blurred = cv2.resize(blurred, (w * 2, h * 2))
 
     hh, ww, _ = img.shape
@@ -127,7 +129,9 @@ def _pad_mirror(img: np.ndarray, lm: np.ndarray):
     wx = np.minimum(wx, np.flip(wx, axis=1))
     weight = np.minimum(wy, wx)[..., None] ** 4
     img = img * weight + blurred * (1 - weight)
-    return img, lm + np.array([w // 4, h // 4])
+    # Landmarks move by the pad offset (h//2, w//2) — the reference
+    # expresses this as padded-size//4 (wing.py:444).
+    return img, lm + np.array([ww // 4, hh // 4])
 
 
 class FaceAligner:

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["AttentionLSTMDecoder", "DecoderOutput", "beam_search"]
+__all__ = ["AttentionLSTMDecoder", "DecoderOutput", "beam_search", "beam_search_batch"]
 
 
 class DecoderOutput(NamedTuple):
@@ -248,3 +248,26 @@ def beam_search(
     state, _ = jax.lax.scan(step, state, jnp.arange(max_steps))
     best = jnp.argmax(state["scores"])
     return state["tokens"][best], state["scores"][best]
+
+
+def beam_search_batch(
+    decoder: AttentionLSTMDecoder,
+    params: Any,
+    encoder_out: jnp.ndarray,  # (B, S, S, E)
+    start_token: int,
+    end_token: int,
+    beam_size: int = 5,
+    max_steps: int = 50,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``beam_search`` vmapped over a batch of images: one device
+    program decodes B*k beams in lockstep instead of B host-looped
+    bs=1 calls (the reference loops images one at a time,
+    eval_total.py:96-175; identical results per image).
+
+    Returns ((B, max_steps) tokens, (B,) scores).
+    """
+    return jax.vmap(
+        lambda e: beam_search(
+            decoder, params, e[None], start_token, end_token, beam_size, max_steps
+        )
+    )(encoder_out)

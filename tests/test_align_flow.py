@@ -173,3 +173,98 @@ def test_eraser_augmentation_occludes_img2():
         assert o1 is img1
         changed = changed or not np.array_equal(o2, img2)
     assert changed
+
+
+@pytest.mark.slow
+def test_aligner_warp_matches_reference():
+    """Full align() vs the reference FaceAligner (wing.py:328-467) on a
+    non-trivial rotation+scale+translation, landmark nets bypassed with
+    a shared fixed landmark set (FAN parity is golden-tested
+    separately).  skimage is absent in this env, so the reference's
+    ``gaussian`` is emulated with the same cv2 blur both sides use."""
+    torch = pytest.importorskip("torch")
+    cv2 = pytest.importorskip("cv2")
+    import types
+
+    import jax.numpy as jnp
+
+    from .golden_reference import import_face_deid_models
+
+    _, ref_wing = import_face_deid_models()
+
+    size = 256
+    rng = np.random.default_rng(7)
+
+    # Smooth synthetic image (gradients + blobs): stable under LANCZOS
+    # resampling, so uint8-vs-float rounding stays in the noise floor.
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    img = np.stack(
+        [
+            0.5 + 0.4 * np.sin(3 * xx + 1.5 * yy),
+            0.5 + 0.4 * np.cos(2 * yy - xx),
+            0.5 + 0.3 * np.exp(-(((xx - 0.5) ** 2 + (yy - 0.4) ** 2) / 0.05)),
+        ],
+        axis=-1,
+    )
+    arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    imgs = (arr.astype(np.float32) / 255.0 * 2.0 - 1.0)[None]
+
+    # Reference landmark frame: plausible 98-point layout.
+    ref_lm = rng.uniform(70.0, 190.0, (98, 2)).astype(np.float32)
+    ref_lm[60:68] = np.array([96.0, 110.0]) + rng.uniform(-6, 6, (8, 2))
+    ref_lm[96] = [96.0, 110.0]
+    ref_lm[68:76] = np.array([160.0, 110.0]) + rng.uniform(-6, 6, (8, 2))
+    ref_lm[97] = [160.0, 110.0]
+    ref_lm[76] = [100.0, 178.0]
+    ref_lm[82] = [156.0, 178.0]
+
+    # Source landmarks: rotate 18 deg, scale 0.85, translate — the face
+    # the aligner must bring back to the reference frame.
+    th = np.deg2rad(18.0)
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]], np.float32)
+    center = ref_lm.mean(axis=0)
+    src_lm = (ref_lm - center) @ rot.T * 0.85 + center + np.array([7.0, -5.0])
+    src_lm = src_lm.astype(np.float32)
+
+    # --- our aligner, landmark net stubbed ---
+    from ppvision_tpu.models.align import FaceAligner, _xaxis
+
+    ours = FaceAligner.__new__(FaceAligner)
+    ours.ref = ref_lm.copy()
+    ours.ref_xaxis = _xaxis(ours.ref)
+    ours.output_size = size
+    ours._landmark_fn = lambda x: jnp.asarray(src_lm[None])
+    got = FaceAligner.align(ours, imgs.copy())[0]
+
+    # --- reference aligner, FAN + skimage stubbed ---
+    orig_gaussian = ref_wing.gaussian
+
+    def cv2_gaussian(x, sigma, multichannel=True):
+        x = x.astype(np.float32)
+        out = cv2.GaussianBlur(x, (0, 0), sigma) if sigma > 0 else x
+        return out / 255.0  # skimage uint8 handling: [0,1] output
+
+    ref_wing.gaussian = cv2_gaussian
+    try:
+        ra = ref_wing.FaceAligner.__new__(ref_wing.FaceAligner)
+        ra.device = torch.device("cpu")
+        ra.CELEB_REF = ref_lm.copy()
+        ra.xaxis_ref = ref_wing.landmarks2xaxis(ra.CELEB_REF)
+        ra.output_size = size
+        ra.fan = types.SimpleNamespace(
+            get_landmark=lambda t: torch.tensor(src_lm[None])
+        )
+        t_imgs = torch.tensor(np.transpose(imgs, (0, 3, 1, 2)).copy())
+        want = ra.align(t_imgs).numpy()[0].transpose(1, 2, 0)
+    finally:
+        ref_wing.gaussian = orig_gaussian
+
+    # Transform matrices must agree to float precision.
+    np.testing.assert_allclose(
+        FaceAligner.matrix(ours, src_lm + np.array([size // 2, size // 2])),
+        ra.landmarks2mat(src_lm + np.array([size // 2, size // 2])),
+        rtol=1e-5, atol=1e-5,
+    )
+    diff = np.abs(got - want)
+    assert diff.mean() < 0.01, diff.mean()
+    assert diff.max() < 0.1, diff.max()

@@ -175,3 +175,46 @@ def test_api_edge_validation():
         return x * 2
 
     jax.jit(f)(ok)
+
+
+def test_create_input_files_custom_lab_split(tmp_path):
+    """Lab-subset builder: first ``train_limit`` readable train-split
+    images -> TRAIN, remaining train images -> VAL, no TEST
+    (reference utils.py::create_input_files_custom ~:153-307)."""
+    from ppvision_tpu.data.caption import create_input_files_custom
+
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    images = []
+    for i in range(5):
+        fname = f"im{i}.jpg"
+        _write_img(str(imgdir / fname), 40 + i)
+        split = ["train", "train", "train", "val", "test"][i]
+        images.append({
+            "filename": fname, "split": split,
+            "sentences": [{"tokens": ["a", "cat"]}, {"tokens": ["the", "cat", "sits"]}],
+        })
+    # A corrupt train image must not consume a TRAIN slot.
+    (imgdir / "im_bad.jpg").write_bytes(b"not an image")
+    images.insert(0, {
+        "filename": "im_bad.jpg", "split": "train",
+        "sentences": [{"tokens": ["bad"]}],
+    })
+    kj = tmp_path / "karpathy.json"
+    kj.write_text(json.dumps({"images": images}))
+    out = tmp_path / "out"
+    create_input_files_custom(
+        "flickr8k", str(kj), str(imgdir), captions_per_image=2,
+        min_word_freq=0, output_folder=str(out), max_len=10, image_size=32,
+        train_limit=2,
+    )
+    base = base_name("flickr8k", 2, 0)
+    train = CaptionDataset(str(out), base, "TRAIN")
+    val = CaptionDataset(str(out), base, "VAL")
+    assert len(train) == 2 * 2  # first 2 readable train imgs x 2 caps
+    assert len(val) == 1 * 2  # the remaining train img
+    assert not (out / f"TEST_IMAGES_{base}.hdf5").exists()
+    with open(out / f"WORDMAP_{base}.json") as f:
+        wm = json.load(f)
+    # Word map counts EVERY caption in the JSON (incl. val/test/corrupt).
+    assert "sits" in wm and "bad" in wm

@@ -53,8 +53,8 @@ def test_calculate_metrics_latent_and_reference(bundle, tmp_path):
             assert f"FaceIDcos_{mode}/{task}" in res
             assert np.isfinite(res[f"FaceIDcos_{mode}/{task}"])
             assert -1.0 <= res[f"FaceIDcos_{mode}/{task}"] <= 1.0
-        for trg in ("cat", "dog"):
-            assert f"FID_{mode}/{trg}" in res and np.isfinite(res[f"FID_{mode}/{trg}"])
+            # FID is per (src -> trg) task (reference eval.py:123-148).
+            assert f"FID_{mode}/{task}" in res and np.isfinite(res[f"FID_{mode}/{task}"])
         assert os.path.exists(
             os.path.join(str(tmp_path / f"out_{mode}"), f"metrics_{mode}_0.json")
         )

@@ -164,3 +164,25 @@ def test_inception_importer_matches_init_structure():
     assert np.isfinite(acts).all()
     a16 = acts[:, :16]  # keep sqrtm cheap
     assert fid_from_activations(a16, a16.copy()) == pytest.approx(0.0, abs=1e-4)
+
+
+def test_pairwise_lpips_matches_loop():
+    """make_pairwise_lpips_fn (one jit, features computed once) must
+    reproduce the reference's 45-call pairwise loop values exactly."""
+    from ppvision_tpu.metrics.lpips import make_pairwise_lpips_fn
+
+    lpips = LPIPS()
+    r, b, hw = 4, 2, 32
+    x0 = jnp.zeros((b, hw, hw, 3))
+    params = lpips.init(jax.random.key(0), x0, x0)["params"]
+    fakes = jax.random.uniform(jax.random.key(1), (r, b, hw, hw, 3))
+
+    got = np.asarray(make_pairwise_lpips_fn(params, r)(fakes))
+    want = []
+    for i in range(r - 1):
+        for j in range(i + 1, r):  # np.triu_indices order
+            want.append(float(lpips.apply({"params": params}, fakes[i], fakes[j])))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-7)
+    assert float(np.mean(got)) == pytest.approx(
+        calculate_lpips_given_images(lpips, params, list(fakes)), rel=1e-5
+    )

@@ -73,6 +73,69 @@ def test_caption_train_step(setup):
 
 
 @pytest.mark.slow
+def test_sharded_caption_step_matches_single_device(setup):
+    """8-way data-parallel caption step == single device (SURVEY §7.4).
+
+    The risk spots this pins: the lens' batch-global ``jnp.max``
+    normalize (optics/lens.py:315-321), the encoder's batch-stat
+    BatchNorm (global-batch mean/var under GSPMD), and the dropout /
+    noise RNG streams, which must be sharding-invariant."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg, state, step, _ = setup
+    b = 8
+    big = dict(
+        images=jax.random.uniform(jax.random.key(11), (b, 32, 32, 3)),
+        captions=jax.random.randint(jax.random.key(12), (b, 10), 0, VOCAB),
+        caption_lengths=jnp.asarray([10, 6, 8, 10, 4, 7, 9, 10]),
+    )
+    rng = jax.random.key(13)
+    ref_state, ref_metrics = step(state, big, rng)
+
+    assert len(jax.devices()) >= 8
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+    shard = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    big_sharded = {k: jax.device_put(v, shard) for k, v in big.items()}
+    new_state, metrics = step(jax.device_put(state, rep), big_sharded, rng)
+
+    for k in ref_metrics:
+        assert float(metrics[k]) == pytest.approx(
+            float(ref_metrics[k]), rel=1e-4, abs=1e-6
+        ), k
+
+    # Adam's first-step update is ~sign(g)*lr; on near-zero-gradient
+    # elements, f32 reduction-order noise (8-way tree reduce vs one
+    # reduce) flips the sign, so individual elements may differ by
+    # O(lr).  Bound max at 10*lr and MEAN at lr/10 — a systematic
+    # per-shard bug (e.g. per-shard BN stats or per-shard max
+    # normalize) shifts every element and fails both, plus the exact
+    # metrics check above.
+    def bound(ref, new, lr):
+        diff = np.concatenate([
+            np.abs(np.asarray(a) - np.asarray(b_)).ravel()
+            for a, b_ in zip(
+                jax.tree_util.tree_leaves(ref), jax.tree_util.tree_leaves(new)
+            )
+        ])
+        assert diff.max() < 10 * lr, diff.max()
+        assert diff.mean() < lr / 10, diff.mean()
+
+    bound(ref_state.decoder, new_state.decoder, cfg.decoder_lr)
+    bound(ref_state.encoder["params"], new_state.encoder["params"], cfg.encoder_lr)
+    # Batch statistics come from the forward pass alone (no optimizer):
+    # global-batch mean/var under GSPMD must match tightly.
+    for a, b_ in zip(
+        jax.tree_util.tree_leaves(ref_state.encoder["batch_stats"]),
+        jax.tree_util.tree_leaves(new_state.encoder["batch_stats"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+    assert float(new_state.camera.defocus) == pytest.approx(
+        float(ref_state.camera.defocus), rel=1e-4, abs=1e-4
+    )
+
+
+@pytest.mark.slow
 def test_encoder_mask_structure(setup):
     cfg, state, step, batch = setup
     mask = _encoder_trainable_mask(state.encoder["params"], 1)

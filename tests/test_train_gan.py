@@ -195,6 +195,84 @@ def test_resume_is_bit_exact(setup, tmp_path):
 
 
 @pytest.mark.slow
+def test_sharded_step_full_loss_matches_single_device(setup):
+    """8-way data parallel == single device with the FULL paper loss —
+    LPIPS, RAFT flow (bilinear gathers under GSPMD) and the heatmap-L1
+    term all active (solver.py:161-184)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ppvision_tpu.train.aux_losses import build_flow_fn, build_lpips_fn
+
+    cfg, _, _, _, frozen, _ = setup
+    cfg32 = FaceDeIdConfig(
+        model=ModelConfig(
+            img_size=IMG, fan_input_size=64, max_conv_dim=32, style_dim=8,
+            compute_dtype="float32",
+        ),
+        camera=cfg.camera,
+        loss=LossConfig(lambda_heatmap=1.0),
+    )
+    models32, fan32, state32 = init_gan(jax.random.key(0), cfg32)
+    lpips_fn, _ = build_lpips_fn(IMG, key=jax.random.key(7))
+    flow_fn, _ = build_flow_fn(
+        key=jax.random.key(8), iters=1, image_size=IMG, corr_levels=2, corr_radius=2
+    )
+    step = make_train_step(models32, fan32, cfg32, lpips_fn=lpips_fn, flow_fn=flow_fn)
+
+    b = 8
+    ks = jax.random.split(jax.random.key(21), 6)
+    big = dict(
+        x_src=jax.random.uniform(ks[0], (b, IMG, IMG, 3)),
+        y_src=jnp.zeros((b,), dtype=jnp.int32),
+        x_ref=jax.random.uniform(ks[1], (b, IMG, IMG, 3)),
+        x_ref2=jax.random.uniform(ks[2], (b, IMG, IMG, 3)),
+        y_ref=jnp.ones((b,), dtype=jnp.int32),
+        z_trg=jax.random.normal(ks[3], (b, cfg.model.latent_dim)),
+        z_trg2=jax.random.normal(ks[4], (b, cfg.model.latent_dim)),
+    )
+    ref_state, ref_metrics = step(state32, frozen, big)
+    assert {"G/ref_lpips", "G/latent_flow", "G/latent_heatmap_l1"} <= set(ref_metrics)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+    shard = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    big_sharded = {
+        k: jax.device_put(v, shard if v.ndim >= 1 and v.shape[0] == b else rep)
+        for k, v in big.items()
+    }
+    new_state, metrics = step(
+        jax.device_put(state32, rep), jax.device_put(frozen, rep), big_sharded
+    )
+    for k in ref_metrics:
+        # G/ref_* metrics run on params already updated by the D and
+        # G-latent sub-steps, where Adam's first-step amplification of
+        # reduction-order noise (see the bare-loss test's bound) has
+        # shifted individual weights by O(lr); allow those metrics a
+        # correspondingly looser band.
+        rel = 1e-2 if k.startswith("G/ref_") else 1e-3
+        assert float(metrics[k]) == pytest.approx(
+            float(ref_metrics[k]), rel=rel, abs=2e-4
+        ), k
+    # Same Adam first-step bounds as the bare-loss test above; the
+    # generator gets a 2x looser MEAN bound — it takes two updates per
+    # iteration and the LPIPS/RAFT chains push more of its gradient
+    # elements into the noise-dominated regime (measured mean 1.4e-5
+    # on 8 virtual devices vs the bare-loss 1e-5 bound).
+    for net in ("generator", "mapping_network", "style_encoder", "discriminator"):
+        lr = 1e-6 if net == "mapping_network" else 1e-4
+        diff = np.concatenate([
+            np.abs(np.asarray(a) - np.asarray(b_)).ravel()
+            for a, b_ in zip(
+                jax.tree_util.tree_leaves(ref_state.params[net]),
+                jax.tree_util.tree_leaves(new_state.params[net]),
+            )
+        ])
+        assert diff.max() < 10 * lr, (net, diff.max())
+        mean_bound = lr / 5 if net == "generator" else lr / 10
+        assert diff.mean() < mean_bound, (net, diff.mean())
+
+
+@pytest.mark.slow
 def test_train_step_with_aux_losses(setup):
     """Full G steps with LPIPS + RAFT flow terms plugged in."""
     from ppvision_tpu.train.aux_losses import build_flow_fn, build_lpips_fn
