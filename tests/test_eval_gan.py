@@ -34,10 +34,16 @@ def bundle():
     return build_deid(jax.random.key(0), cfg)
 
 
-def test_refuses_random_metric_nets(bundle, tmp_path):
+def test_refuses_random_metric_nets(tmp_path):
+    # The guard fires before the bundle is touched, so a dummy suffices
+    # (building a real bundle costs ~50 s of compile on 1 CPU — keep
+    # this in the fast tier).
+    import types
+
     root = _val_dir(tmp_path)
+    dummy = types.SimpleNamespace(cfg=None, params=None)
     with pytest.raises(RuntimeError, match="allow_random_metrics"):
-        calculate_metrics(bundle, bundle.params, root, num_outs=2, batch_size=2)
+        calculate_metrics(dummy, None, root, num_outs=2, batch_size=2)
 
 
 @pytest.mark.slow

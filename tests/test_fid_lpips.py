@@ -166,13 +166,14 @@ def test_inception_importer_matches_init_structure():
     assert fid_from_activations(a16, a16.copy()) == pytest.approx(0.0, abs=1e-4)
 
 
+@pytest.mark.slow  # ~16 s of compile on 1 CPU
 def test_pairwise_lpips_matches_loop():
     """make_pairwise_lpips_fn (one jit, features computed once) must
     reproduce the reference's 45-call pairwise loop values exactly."""
     from ppvision_tpu.metrics.lpips import make_pairwise_lpips_fn
 
     lpips = LPIPS()
-    r, b, hw = 4, 2, 32
+    r, b, hw = 4, 2, 32  # 32 is AlexNet's minimum usable input here
     x0 = jnp.zeros((b, hw, hw, 3))
     params = lpips.init(jax.random.key(0), x0, x0)["params"]
     fakes = jax.random.uniform(jax.random.key(1), (r, b, hw, hw, 3))

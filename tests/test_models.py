@@ -146,6 +146,7 @@ def test_generator_multistyle_matches_tiled(keys):
         gen.apply({"params": params}, x, jnp.zeros((b + 1, style_dim)), masks)
 
 
+@pytest.mark.slow  # ~67 s on 1 CPU: compiles both decode formulations
 def test_deid_multi_style_matches_flat_generator():
     """The scan-over-styles decode (deid.deid_multi_style) must match the
     flat R*B multi-style Generator.__call__ path."""

@@ -94,6 +94,7 @@ def test_restore_deid_params_orbax_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(b0), np.asarray(a0) + 1.0, rtol=1e-6)
 
 
+@pytest.mark.slow  # build_deid init is ~60 s on 1 CPU
 def test_restore_deid_params_warns_without_ckpt(tmp_path, capsys):
     from ppvision_tpu.deid import build_deid
     from ppvision_tpu.train.pretrained import restore_deid_params

@@ -92,6 +92,7 @@ def _synthetic_resnet_sd(stage_sizes=(1, 1, 1, 1)):
     return sd
 
 
+@pytest.mark.slow  # redundant with test_metric_net_parity numeric checks
 def test_resnet_converter_structural():
     stages = (1, 1, 1, 1)
     sd = _synthetic_resnet_sd(stages)
