@@ -169,11 +169,19 @@ def deid_multi_style(
         {"params": params.generator}, x_priv, masks, method=Generator.encode
     )
 
+    # Stack the per-style outputs in the COMPUTE dtype: the scan's
+    # dynamic-update-slice writes the full (R, B, H, W, 3) buffer, and
+    # stacking f32 costs 2x the bytes (~8 ms/step at bench shapes) for
+    # precision the bf16 pipeline never had.  The f32 cast happens once
+    # on the stacked result.
+    dtype = jnp.dtype(bundle.cfg.model.compute_dtype)
+
     def body(_, s):
         sb = jnp.broadcast_to(s[None], (z.shape[0], s.shape[-1]))
-        return None, gen.apply(
+        out = gen.apply(
             {"params": params.generator}, z, sb, hps, method=Generator.decode
         )
+        return None, out.astype(dtype)
 
     _, fakes = jax.lax.scan(body, None, s_ref)
-    return fakes
+    return fakes.astype(jnp.float32)
