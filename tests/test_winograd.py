@@ -1,0 +1,71 @@
+"""Winograd F(2,3)-along-H conv kernel: equivalence + gradient tests.
+
+The Pallas kernel runs in interpret mode here (CPU CI); compiled-mode
+equivalence at real decode shapes was verified on the TPU (PERF.md
+round-2f: rel err ~5e-3, the direct-bf16-conv error scale).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ppvision_tpu.ops.winograd import (
+    _lax_conv3x3,
+    _winograd_impl,
+    conv3x3,
+    winograd_eligible,
+)
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(2, 8, 16, 128, 128), (1, 32, 16, 128, 256), (4, 4, 32, 256, 128)],
+)
+def test_winograd_matches_lax_conv(shape):
+    b, h, w, c, k = shape
+    x = jax.random.normal(jax.random.key(0), (b, h, w, c), jnp.bfloat16)
+    ker = jax.random.normal(jax.random.key(1), (3, 3, c, k), jnp.float32) * 0.05
+    got = np.asarray(_winograd_impl(x, ker, interpret=True).astype(jnp.float32))
+    want = np.asarray(_lax_conv3x3(x, ker).astype(jnp.float32))
+    scale = np.abs(want).max() + 1e-9
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() / scale < 2e-2
+
+
+def test_winograd_f32_transform_is_exact_math():
+    """With f32 inputs on the lax path the op is the plain conv."""
+    b, h, w, c, k = 2, 8, 16, 8, 8
+    x = jax.random.normal(jax.random.key(0), (b, h, w, c), jnp.float32)
+    ker = jax.random.normal(jax.random.key(1), (3, 3, c, k), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(conv3x3(x, ker)), np.asarray(_lax_conv3x3(x, ker)), rtol=1e-6
+    )
+
+
+def test_eligibility_gating():
+    x_bf = jnp.zeros((2, 8, 16, 128), jnp.bfloat16)
+    # CPU backend (tests force cpu): never eligible, falls back to lax.
+    assert not winograd_eligible(x_bf, 128)
+    # Shape gates are checked regardless of backend.
+    assert not winograd_eligible(jnp.zeros((2, 8, 16, 100), jnp.bfloat16), 128)
+    assert not winograd_eligible(jnp.zeros((2, 7, 16, 128), jnp.bfloat16), 128)
+    assert not winograd_eligible(jnp.zeros((2, 8, 18, 128), jnp.bfloat16), 128)
+    assert not winograd_eligible(jnp.zeros((2, 8, 16, 128), jnp.float32), 128)
+
+
+def test_custom_vjp_matches_lax_grad():
+    b, h, w, c, k = 2, 8, 16, 8, 8
+    x = jax.random.normal(jax.random.key(0), (b, h, w, c), jnp.float32)
+    ker = jax.random.normal(jax.random.key(1), (3, 3, c, k), jnp.float32) * 0.1
+
+    def loss_wino(x, ker):
+        return jnp.sum(jnp.tanh(conv3x3(x, ker)))
+
+    def loss_lax(x, ker):
+        return jnp.sum(jnp.tanh(_lax_conv3x3(x, ker)))
+
+    gx_w, gk_w = jax.grad(loss_wino, argnums=(0, 1))(x, ker)
+    gx_l, gk_l = jax.grad(loss_lax, argnums=(0, 1))(x, ker)
+    np.testing.assert_allclose(np.asarray(gx_w), np.asarray(gx_l), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk_w), np.asarray(gk_l), rtol=1e-5, atol=1e-5)
