@@ -20,9 +20,10 @@ the reference's own eval workload) plus ``single_style_img_s`` — the
 from BENCH_r*.json (PERF.md derives the 107 GF/output roofline that
 bounds the single-style number at ~1,839 img/s at 100% MFU).
 Baseline: >=5000 img/s/chip (BASELINE.json).
-Env knobs: PPVISION_BENCH_SRC (default 256 sources/batch — halves the
-~7.5 ms per-dispatch tunnel overhead relative to B=128; device time per
-image is flat in B), PPVISION_BENCH_OUTS (default 10 styles/source).
+Env knobs: PPVISION_BENCH_SRC (default 512 sources/batch — amortizes
+the ~7.5 ms per-dispatch tunnel overhead; device time per image is flat
+in B: 5,024 at B=128, 5,181 at 256, 5,228 at 512),
+PPVISION_BENCH_OUTS (default 10 styles/source).
 """
 
 import json
@@ -43,7 +44,7 @@ def main() -> None:
     cfg = FaceDeIdConfig(model=ModelConfig(img_size=128), camera=CameraConfig(n=128))
     bundle = build_deid(jax.random.key(0), cfg)
 
-    b = int(os.environ.get("PPVISION_BENCH_SRC", "256"))
+    b = int(os.environ.get("PPVISION_BENCH_SRC", "512"))
     r = int(os.environ.get("PPVISION_BENCH_OUTS", "10"))
     x_src = jax.random.uniform(jax.random.key(1), (b, 128, 128, 3))
     x_ref = jax.random.uniform(jax.random.key(2), (r, 128, 128, 3))
