@@ -135,6 +135,12 @@ def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
     if c >= 8 and x.dtype == jnp.bfloat16:
         from jax import lax
 
+        # No preferred_element_type: the MXU accumulates bf16 convs in
+        # f32 regardless and rounds ONCE to the bf16 output — the same
+        # value as an f32 output + cast.  Requesting an f32 output also
+        # breaks reverse-mode: the conv transpose rule feeds the f32
+        # cotangent back against the bf16 kernel, and lax.conv rejects
+        # mixed dtypes (seen under the R1 grad-of-grad in train/gan.py).
         k = jnp.asarray(_diag_pool_kernel_np(c)).astype(x.dtype)
         return lax.conv_general_dilated(
             x,
@@ -142,8 +148,7 @@ def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
             (2, 2),
             "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        )
     xr = x.reshape(b, h // 2, 2, w // 2, 2, c)
     # Fixed-index slices (not ::2 strided indexing, which lowers to
     # gather) keep this a pure slice+add fusion.

@@ -64,12 +64,18 @@ def main():
 
     state, metrics = step_fn(state, frozen, batch)  # compile
     float(metrics["G/latent_adv"])  # sync
+    # Steady-state training dispatches iterations back-to-back and reads
+    # metrics only occasionally; syncing EVERY iteration adds the ~30 ms
+    # tunnel host-transfer to each measurement.  Chain K dependent steps
+    # (state threads through) with one trailing sync and divide.
+    k = int(os.environ.get("PPVISION_TRAIN_CHAIN", "8"))
     times = []
-    for _ in range(6):
+    for _ in range(4):
         t0 = time.perf_counter()
-        state, metrics = step_fn(state, frozen, batch)
-        float(metrics["G/latent_adv"])  # host sync every iteration
-        times.append(time.perf_counter() - t0)
+        for _ in range(k):
+            state, metrics = step_fn(state, frozen, batch)
+        float(metrics["G/latent_adv"])
+        times.append((time.perf_counter() - t0) / k)
     dt = min(times)
     print(
         json.dumps(
