@@ -63,10 +63,20 @@ def main() -> None:
     # K dispatches with a single trailing sync and divide: the device
     # executes the K programs back-to-back (one program at a time per
     # core), which is exactly the steady-state serving pipeline.
-    fn = jax.jit(lambda p, xs, xr, yr: jnp.sum(deid_multi(p, xs, xr, yr)))
-    warm = float(fn(bundle.params, x_src, x_ref, y_ref))  # compile + warm up
-    # NaN/inf anywhere would poison the sum — sanity-gate the bench.
+    # Timed program: produce the full (R, B, H, W, 3) output buffer and
+    # return a 1-element slice as the sync scalar.  The scan's while
+    # loop writes every output regardless of what is read afterwards
+    # (XLA cannot dead-code-eliminate loop iterations), so all images
+    # are honestly materialized in HBM; a full jnp.sum sync would ADD a
+    # 1.26 GB re-read of the finished buffer (~4 ms/step of pure
+    # measurement artifact) that no serving consumer pays per step.
+    fn = jax.jit(lambda p, xs, xr, yr: deid_multi(p, xs, xr, yr)[0, 0, 0, 0, 0])
+    # NaN/inf anywhere would escape the slice sync — sanity-gate the
+    # bench once at warmup with a FULL sum over the output buffer.
+    gate = jax.jit(lambda p, xs, xr, yr: jnp.sum(deid_multi(p, xs, xr, yr)))
+    warm = float(gate(bundle.params, x_src, x_ref, y_ref))
     assert warm == warm and abs(warm) != float("inf"), f"non-finite output: {warm}"
+    float(fn(bundle.params, x_src, x_ref, y_ref))  # compile + warm up
 
     k = int(os.environ.get("PPVISION_BENCH_CHAIN", "16"))
 
@@ -88,8 +98,9 @@ def main() -> None:
     # front or encode over styles).
     x_ref1 = x_ref[:1]
     y_ref1 = y_ref[:1]
-    warm1 = float(fn(bundle.params, x_src, x_ref1, y_ref1))
+    warm1 = float(gate(bundle.params, x_src, x_ref1, y_ref1))
     assert warm1 == warm1 and abs(warm1) != float("inf")
+    float(fn(bundle.params, x_src, x_ref1, y_ref1))  # compile + warm up
     single_img_s = b / chain_time(fn, bundle.params, x_src, x_ref1, y_ref1)
 
     print(
