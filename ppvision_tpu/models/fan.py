@@ -61,6 +61,21 @@ class _ConvParams(nn.Module):
         return k, b
 
 
+class _KernelParams(nn.Module):
+    """Parameter-only stand-in for a bias-free ``nn.Conv`` (tree: kernel).
+
+    Lets a block read the raw kernel to build fused variants (e.g.
+    conv+pool) from the SAME parameter tensor nn.Conv would own — the
+    param tree (names, shapes, init) is identical to
+    ``nn.Conv(use_bias=False)``."""
+
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.kshape)
+
+
 class CoordConv(nn.Module):
     """Conv over input + coordinate (+boundary-gated coordinate) channels.
 
@@ -135,33 +150,75 @@ class FrozenBatchNorm(nn.Module):
 
 class DenseConvBlock(nn.Module):
     """BN-relu-conv cascade whose three outputs concatenate to ``features``
-    channels (the hourglass building block, wing.py:139-175)."""
+    channels (the hourglass building block, wing.py:139-175).
+
+    ``pool_output=True`` returns ``avg_pool_2x(block(x))`` with the pool
+    commuted through the channel concat and the residual 1x1 (both exact:
+    pooling is spatial-linear, concat is channel-only), and the LAST 3x3
+    conv fused with the pool into one 4x4/s2 conv
+    (``ops.fusedconv.conv3x3_avgpool2x``).  Identical math to pooling
+    after the block, but the concat, residual, and o3 tensors are only
+    ever materialized at the pooled resolution — the unfused order
+    writes them all at full res first (the FAN stem's 128^2 maps are the
+    bandwidth-bound stage's largest tensors).  Param tree is unchanged.
+    """
 
     in_features: int
     features: int
     dtype: Any = None
+    pool_output: bool = False
 
     @nn.compact
     def __call__(self, x):
         half, quarter = self.features // 2, self.features // 4
+        dt = self.dtype or x.dtype
+        cin = x.shape[-1]
 
-        def bn_relu_conv(h, out):
-            h = FrozenBatchNorm()(h)
-            h = nn.relu(h)
-            return nn.Conv(
-                out, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
-                dtype=self.dtype,
-            )(h)
+        def conv3x3(h, k):
+            return jax.lax.conv_general_dilated(
+                h.astype(dt), k.astype(dt), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
 
-        o1 = bn_relu_conv(x, half)
-        o2 = bn_relu_conv(o1, quarter)
-        o3 = bn_relu_conv(o2, quarter)
-        out = jnp.concatenate([o1, o2, o3], axis=-1)
+        def bn_relu(h):
+            return nn.relu(FrozenBatchNorm()(h))
+
+        # Params declared identically in both paths (same order/names).
+        k1 = _KernelParams((3, 3, cin, half), name="Conv_0")
+        k2 = _KernelParams((3, 3, half, quarter), name="Conv_1")
+        k3 = _KernelParams((3, 3, quarter, quarter), name="Conv_2")
+
+        h1 = bn_relu(x)
+        o1 = conv3x3(h1, k1())
+        h2 = bn_relu(o1)
+        o2 = conv3x3(h2, k2())
+        h3 = bn_relu(o2)
+
+        if not self.pool_output:
+            o3 = conv3x3(h3, k3())
+            out = jnp.concatenate([o1, o2, o3], axis=-1)
+            res = x
+            if self.in_features != self.features:
+                res = nn.Conv(
+                    self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="Conv_3",
+                )(bn_relu(res))
+            return out + res
+
+        from ..ops.fusedconv import conv3x3_avgpool2x
+
+        o3p = conv3x3_avgpool2x(h3.astype(dt), k3())
+        out = jnp.concatenate([avg_pool_2x(o1), avg_pool_2x(o2), o3p], axis=-1)
         res = x
         if self.in_features != self.features:
-            res = FrozenBatchNorm()(res)
-            res = nn.relu(res)
-            res = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(res)
+            # 1x1 conv commutes exactly with the 2x2 mean pool (channel-
+            # only vs spatial-only linear maps) — run it on the small side.
+            res = nn.Conv(
+                self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                name="Conv_3",
+            )(avg_pool_2x(bn_relu(res).astype(dt)))
+        else:
+            res = avg_pool_2x(res)
         return out + res
 
 
@@ -193,10 +250,23 @@ class HourGlass(nn.Module):
 
 
 class FAN(nn.Module):
-    """Single-stack FAN: stem to 64x64x256, hourglass, 99-channel head."""
+    """Single-stack FAN: stem to 64x64x256, hourglass, 99-channel head.
+
+    ``fold_privacy_head=True`` (an apply-time compute variant over the
+    SAME param tree) returns the two privacy masks at head resolution,
+    (B, 64, 64, 2) float32, instead of the 99-channel heatmap: the
+    privacy masks are channel-sums of the head output
+    (``get_heatmap(privacy=True)``, reference wing.py:249-251), and a
+    channel-sum of 1x1-conv outputs equals a 1x1 conv with the
+    channel-summed kernel/bias — so the fold writes 2 channels where
+    the unfused order writes 99 and re-reads them to reduce (the head
+    map is one of the bandwidth-bound FAN stage's largest tensors).
+    The boundary channel (98) is not part of either mask.
+    """
 
     num_landmarks: int = NUM_LANDMARKS
     dtype: Any = None
+    fold_privacy_head: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -204,8 +274,9 @@ class FAN(nn.Module):
             x = x.astype(self.dtype)
         x = CoordConv(64, 7, stride=2, with_r=True, dtype=self.dtype)(x)  # 256 -> 128
         x = nn.relu(FrozenBatchNorm()(x))
-        x = DenseConvBlock(64, 128, dtype=self.dtype)(x)
-        x = avg_pool_2x(x)  # 128 -> 64
+        # Stem block with the 128->64 pool commuted inside (exact math,
+        # avoids materializing the block's 128^2 maps — see DenseConvBlock).
+        x = DenseConvBlock(64, 128, dtype=self.dtype, pool_output=True)(x)
         x = DenseConvBlock(128, 128, dtype=self.dtype)(x)
         x = DenseConvBlock(128, 256, dtype=self.dtype)(x)
 
@@ -213,10 +284,34 @@ class FAN(nn.Module):
         h = DenseConvBlock(256, 256, dtype=self.dtype)(h)
         h = nn.Conv(256, (1, 1), dtype=self.dtype)(h)
         h = nn.relu(FrozenBatchNorm()(h))
+        dt = self.dtype or h.dtype
+        kern, bias = _ConvParams(
+            (1, 1, 256, self.num_landmarks + 1), self.num_landmarks + 1,
+            name="Conv_1",
+        )()
+        if self.fold_privacy_head:
+            # Masks = f32 channel-sums of head channels [0:49) / [49:98)
+            # == 1x1 conv with group-summed kernel (summed in the f32
+            # master params; f32 accumulate+output — FAN is value-only
+            # everywhere, so the mixed-dtype conv never sees a grad).
+            kf = jnp.stack(
+                [kern[..., :49].sum(-1), kern[..., 49:98].sum(-1)], axis=-1
+            )
+            bf = jnp.stack([bias[:49].sum(), bias[49:98].sum()])
+            out = jax.lax.conv_general_dilated(
+                h, kf.astype(dt), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            return out + bf
         # Returned in the compute dtype: consumers reduce/resize with f32
         # accumulation, so an eager f32 cast here would only double the
         # head tensor's HBM bytes.
-        return nn.Conv(self.num_landmarks + 1, (1, 1), dtype=self.dtype)(h)
+        y = jax.lax.conv_general_dilated(
+            h, kern.astype(dt), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(dt)
 
 
 # ---------------------------------------------------------------------------
@@ -317,19 +412,25 @@ def get_heatmap(
     # conv casts anyway, and doing it here halves the HBM traffic of the
     # largest tensors in the (bandwidth-bound) FAN stage.
     xr = resize_bilinear(x.astype(fan.dtype or x.dtype), (s, s))
-    out = fan.apply({"params": params}, xr * 0.5 + 0.5)
-    hm = out[..., : NUM_LANDMARKS]
     if privacy:
         # Channel-sum and bilinear resize commute (both linear; the
-        # reference clamps last, wing.py:250-251), so sum the 98
-        # channels at heatmap resolution before upsampling — identical
-        # result, 49x less resize memory (the naive order OOMs at
-        # batch 256 on a 16 GB chip).
-        m1 = jnp.sum(hm[..., :49], axis=-1, keepdims=True, dtype=jnp.float32)
-        m2 = jnp.sum(hm[..., 49:], axis=-1, keepdims=True, dtype=jnp.float32)
-        m1 = resize_bilinear(m1, (s, s), align_corners=True)
-        m2 = resize_bilinear(m2, (s, s), align_corners=True)
-        return jnp.clip(m1, 0.0, 1.0), jnp.clip(m2, 0.0, 1.0)
+        # reference clamps last, wing.py:250-251), so the sums happen at
+        # heatmap resolution before upsampling — identical result, 49x
+        # less resize memory (the naive order OOMs at batch 256 on a
+        # 16 GB chip).  The sums themselves are folded INTO the head
+        # conv's kernel (see ``FAN.fold_privacy_head``), so the
+        # 99-channel head map is never materialized either.
+        m = FAN(
+            num_landmarks=fan.num_landmarks, dtype=fan.dtype,
+            fold_privacy_head=True,
+        ).apply({"params": params}, xr * 0.5 + 0.5)
+        m = resize_bilinear(m, (s, s), align_corners=True)
+        return (
+            jnp.clip(m[..., :1], 0.0, 1.0),
+            jnp.clip(m[..., 1:], 0.0, 1.0),
+        )
+    out = fan.apply({"params": params}, xr * 0.5 + 0.5)
+    hm = out[..., : NUM_LANDMARKS]
     hm = resize_bilinear(hm.astype(jnp.float32), (s, s), align_corners=True)
     if delimiter:
         hm = hm.at[..., :33].set(0.0)

@@ -105,6 +105,39 @@ def test_fan_forward_and_heatmaps():
     assert lm.shape == (1, 98, 2)
 
 
+def test_dense_block_pool_output_matches_pool_after():
+    """pool_output=True must equal avg_pool_2x(block(x)): the pool is
+    commuted through the concat/residual and fused into the last conv —
+    exact linear algebra, so f32 agrees to reassociation rounding."""
+    from ppvision_tpu.ops.image import avg_pool_2x
+
+    for cin, cout in [(64, 128), (128, 128)]:
+        blk = fan_mod.DenseConvBlock(cin, cout)
+        blk_p = fan_mod.DenseConvBlock(cin, cout, pool_output=True)
+        x = jax.random.normal(jax.random.key(2), (2, 16, 16, cin), jnp.float32)
+        params = blk.init(jax.random.key(3), x)["params"]
+        # Same param tree for both compute paths.
+        assert set(params.keys()) == set(blk_p.init(jax.random.key(3), x)["params"].keys())
+        want = avg_pool_2x(blk.apply({"params": params}, x))
+        got = blk_p.apply({"params": params}, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+def test_fan_privacy_fold_matches_channel_sums():
+    """fold_privacy_head must equal the f32 channel-sums of the
+    99-channel head output (the kernel fold is the same linear map)."""
+    f = fan_mod.FAN()
+    x = jax.random.uniform(jax.random.key(4), (1, 64, 64, 3))
+    params = f.init(jax.random.key(5), x)["params"]
+    hm = f.apply({"params": params}, x)[..., : fan_mod.NUM_LANDMARKS]
+    want1 = jnp.sum(hm[..., :49], axis=-1, keepdims=True, dtype=jnp.float32)
+    want2 = jnp.sum(hm[..., 49:], axis=-1, keepdims=True, dtype=jnp.float32)
+    got = fan_mod.FAN(fold_privacy_head=True).apply({"params": params}, x)
+    assert got.shape == want1.shape[:-1] + (2,)
+    np.testing.assert_allclose(np.asarray(got[..., :1]), np.asarray(want1), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[..., 1:]), np.asarray(want2), rtol=1e-5, atol=1e-5)
+
+
 def test_preprocess_shift_is_circular_roll():
     """shift(x, N) must equal a circular roll of rows by -N."""
     rng = np.random.default_rng(0)
@@ -171,6 +204,9 @@ def test_deid_multi_style_matches_flat_generator():
         want = deid_from_reference(
             bundle, bundle.params, xs, jnp.tile(xr[i][None], (b, 1, 1, 1)), yr[i] * jnp.ones((b,), jnp.int32)
         )
+        # Both paths run the bf16 pipeline with different batch tilings,
+        # so outputs can differ by ~1 bf16 ulp at any magnitude: rtol
+        # 2^-6 (2 ulp) covers large values the flat atol would reject.
         np.testing.assert_allclose(
-            np.asarray(fakes[i]), np.asarray(want), rtol=0, atol=5e-2
+            np.asarray(fakes[i]), np.asarray(want), rtol=2 ** -6, atol=5e-2
         )
