@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="let --mode eval run with random-weight metric nets "
         "(relative comparisons only; published numbers need converted ckpts)",
     )
+    p.add_argument(
+        "--aligned_face_id", action="store_true",
+        help="with --mode eval: insightface-comparable face-ID cosines "
+        "(FAN landmarks -> ArcFace-template warp; needs wing ckpt)",
+    )
     return p
 
 
@@ -256,19 +261,41 @@ def run_video(cfg, bundle) -> None:
         print(f"flow_consistency_epe: {score:.4f}")
 
 
-def run_eval(cfg, allow_random_metrics: bool = False) -> None:
+def run_eval(
+    cfg, allow_random_metrics: bool = False, aligned_face_id: bool = False
+) -> None:
     from ..deid import build_deid
     from ..metrics.eval_gan import calculate_metrics, load_metric_nets
     from ..train.pretrained import restore_deid_params
 
+    if aligned_face_id:
+        # insightface-comparable cosines need clean wing-FAN landmarks
+        # (metrics/face_id.py::make_aligned_embed_fn).  Checked before
+        # the bundle build so a missing ckpt fails in ms, not minutes.
+        import os
+
+        if not os.path.exists(cfg.paths.wing_path):
+            raise FileNotFoundError(
+                f"--aligned_face_id needs the wing FAN checkpoint at "
+                f"{cfg.paths.wing_path} (clean-image landmarks)"
+            )
     bundle = build_deid(jax.random.key(cfg.train.seed), cfg)
     bundle = bundle._replace(params=restore_deid_params(bundle, cfg))
     metric_nets = load_metric_nets(cfg.paths)
+    align_fan_params = None
+    if aligned_face_id:
+        from ..utils.torch_import import fan_params_from_torch, load_torch_state_dict
+
+        align_fan_params = jax.tree_util.tree_map(
+            jnp.asarray,
+            fan_params_from_torch(load_torch_state_dict(cfg.paths.wing_path)),
+        )
     for mode in ("latent", "reference"):
         res = calculate_metrics(
             bundle, bundle.params, cfg.paths.val_img_dir, mode=mode,
             num_outs=cfg.train.num_outs_per_domain, out_dir=cfg.paths.eval_dir,
-            allow_random_metrics=allow_random_metrics, **metric_nets,
+            allow_random_metrics=allow_random_metrics,
+            align_fan_params=align_fan_params, **metric_nets,
         )
         for k, v in res.items():
             print(f"{k}: {v:.4f}")
@@ -318,7 +345,7 @@ def main(argv=None) -> None:
     elif args.mode == "align":
         run_align(cfg, args.inp_dir, args.out_dir)
     else:
-        run_eval(cfg, args.allow_random_metrics)
+        run_eval(cfg, args.allow_random_metrics, args.aligned_face_id)
 
 
 if __name__ == "__main__":

@@ -80,6 +80,7 @@ def calculate_metrics(
     step: int = 0,
     seed: int = 0,
     max_images: int | None = None,
+    align_fan_params: Any | None = None,
 ) -> dict[str, float]:
     """LPIPS_{mode} per src->trg task + FID per target domain + face-ID
     cosine (src vs anonymized, BASELINE.json parity metric).
@@ -90,6 +91,13 @@ def calculate_metrics(
     numbers unless ``allow_random_metrics=True``, in which case fresh
     random nets are used (relative comparisons only) and a loud warning
     is printed.
+
+    ``align_fan_params`` (clean wing-FAN params, e.g. the converted
+    wing.ckpt) switches the face-ID embed to the insightface-comparable
+    pipeline (FAN landmarks -> ArcFace-template warp -> embed,
+    ``face_id.make_aligned_embed_fn``) so absolute cosines line up with
+    published ArcFace numbers; default is the whole-frame resize embed,
+    self-consistent for parity.
     """
     import sys
 
@@ -131,7 +139,15 @@ def calculate_metrics(
         arcface_params = id_net.init(jax.random.key(2), jnp.zeros((1, 112, 112, 3)))[
             "params"
         ]
-    embed_fn = make_embed_fn(id_net, arcface_params)
+    if align_fan_params is not None:
+        from .face_id import make_aligned_embed_fn
+
+        embed_fn = make_aligned_embed_fn(
+            id_net, arcface_params, bundle.fan, align_fan_params,
+            input_size=cfg.model.fan_input_size,
+        )
+    else:
+        embed_fn = make_embed_fn(id_net, arcface_params)
 
     @jax.jit
     def id_cos_multi(x_src, fakes):

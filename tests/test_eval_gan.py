@@ -64,3 +64,37 @@ def test_calculate_metrics_latent_and_reference(bundle, tmp_path):
         assert os.path.exists(
             os.path.join(str(tmp_path / f"out_{mode}"), f"metrics_{mode}_0.json")
         )
+
+
+@pytest.mark.slow
+def test_calculate_metrics_aligned_face_id(bundle, tmp_path):
+    """align_fan_params switches the face-ID embed to the FAN-landmark
+    ArcFace-template pipeline; keys and value ranges are unchanged."""
+    root = _val_dir(tmp_path)
+    res = calculate_metrics(
+        bundle, bundle.params, root, mode="latent", num_outs=2, batch_size=2,
+        allow_random_metrics=True, out_dir=str(tmp_path / "out_aligned"),
+        align_fan_params=bundle.params.fan_priv,
+    )
+    for task in ("cat2dog", "dog2cat"):
+        v = res[f"FaceIDcos_latent/{task}"]
+        assert np.isfinite(v) and -1.0 <= v <= 1.0
+
+
+def test_run_eval_aligned_needs_wing_ckpt(tmp_path):
+    """--aligned_face_id must fail fast (before the bundle build) when
+    the wing checkpoint is absent."""
+    import dataclasses
+
+    from ppvision_tpu.cli.main import run_eval
+    from ppvision_tpu.config import FaceDeIdConfig
+
+    cfg = FaceDeIdConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        paths=dataclasses.replace(
+            cfg.paths, wing_path=str(tmp_path / "missing_wing.ckpt")
+        ),
+    )
+    with pytest.raises(FileNotFoundError, match="aligned_face_id"):
+        run_eval(cfg, aligned_face_id=True)
