@@ -44,8 +44,12 @@ def initialize_multihost(
     gradient all-reduces ride ICI within each slice).  No-op when
     already initialized or in a single-process job.
     """
-    if jax.process_count() > 1:
+    if jax.distributed.is_initialized():
         return  # already initialized
+    # NB: probing jax.process_count() here instead would *initialize the
+    # local backend*, which forbids the distributed init that follows
+    # ("must be called before any JAX computations") — the two-process
+    # integration test in tests/test_mesh.py guards this ordering.
     explicit = not (
         coordinator_address is None and num_processes is None and process_id is None
     )

@@ -1,5 +1,10 @@
 """Mesh helpers: multihost init error surfacing + batch placement."""
 
+import os
+import socket
+import subprocess
+import sys
+
 import jax
 import numpy as np
 import pytest
@@ -27,6 +32,83 @@ def test_initialize_multihost_no_args_failure_is_noop(monkeypatch):
 
     monkeypatch.setattr(jax.distributed, "initialize", boom)
     pmesh.initialize_multihost()  # must not raise
+
+
+_MULTIHOST_WORKER = """
+import sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ppvision_tpu.parallel import mesh as pmesh
+
+coord, pid = sys.argv[1], int(sys.argv[2])
+pmesh.initialize_multihost(
+    coordinator_address=coord, num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2, jax.process_count()
+assert (pid == 0) == pmesh.is_primary()
+mesh = pmesh.make_mesh()  # global mesh spanning both processes
+n = mesh.shape["data"]
+assert n == len(jax.devices()) >= 2
+# Each process contributes its own local shard of a GLOBAL batch.
+local = np.full((4 // 2, 3), float(pid + 1), np.float32)
+arr = jax.make_array_from_process_local_data(
+    NamedSharding(mesh, P("data")), local, global_shape=(4, 3)
+)
+total = jax.jit(
+    lambda a: jnp.sum(a), out_shardings=NamedSharding(mesh, P())
+)(arr)
+print("SUM", float(total), flush=True)  # 2*3*1 + 2*3*2 = 18
+"""
+
+
+@pytest.mark.slow
+def test_initialize_multihost_two_processes_end_to_end(tmp_path):
+    """REAL multi-host: two CPU processes join over a local coordinator
+    (the DCN path), build one global mesh, and reduce a
+    process-sharded global array.  Proves initialize_multihost beyond
+    the mocked error-path tests above."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    worker = tmp_path / "worker.py"
+    worker.write_text(_MULTIHOST_WORKER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""  # 1 CPU device per process
+    # CPU-only workers: keep any TPU-tunnel sitecustomize (e.g. the
+    # axon relay's site dir) out of the subprocess — its registration
+    # dials hardware at interpreter start and can hang the worker.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + [
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p
+        ]
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "SUM 18.0" in out, out
 
 
 def test_shard_batch_placement():
