@@ -26,6 +26,19 @@ def _native_dir() -> str:
     return os.path.join(os.path.dirname(__file__), "..", "..", "native")
 
 
+def _warn_fallback(reason: str) -> None:
+    """One-time notice: the python/PIL transform path is ~7x slower on
+    multi-core hosts (PERF.md), so a silent fallback would look like a
+    data-pipeline regression."""
+    import sys
+
+    print(
+        f"ppvision_tpu: native transform library unavailable ({reason}); "
+        "falling back to the python/PIL path (correct, slower)",
+        file=sys.stderr,
+    )
+
+
 def _load():
     global _lib, _tried
     with _lock:
@@ -45,11 +58,13 @@ def _load():
                      src, "-o", so],
                     check=True, capture_output=True,
                 )
-            except (OSError, subprocess.CalledProcessError):
+            except (OSError, subprocess.CalledProcessError) as e:
+                _warn_fallback(f"g++ build failed: {e}")
                 return None
         try:
             lib = ctypes.CDLL(so)
-        except OSError:
+        except OSError as e:
+            _warn_fallback(f"dlopen failed: {e}")
             return None
         lib.ppv_batch_transform.argtypes = [
             ctypes.POINTER(ctypes.c_void_p),
