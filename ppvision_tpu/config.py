@@ -71,6 +71,12 @@ class TrainConfig:
     use_lpips: bool = True
     use_flow: bool = True
     flow_iters: int = 20  # RAFT refinement iterations inside the loss
+    # Rematerialize generator/discriminator activations in the train
+    # step (jax.checkpoint): trades ~1 extra forward of FLOPs for the
+    # peak-HBM of the stored activations — the TPU-native lever for
+    # larger batches / resolutions.  Identical math (same values,
+    # recomputed), off by default.
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

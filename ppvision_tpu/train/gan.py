@@ -152,6 +152,15 @@ def make_train_step(
     def d_apply(p, x, y):
         return disc.apply({"params": p}, x, y)
 
+    if cfg.train.remat:
+        # Recompute G/D activations in the backward pass instead of
+        # storing them: same values, ~1 extra forward of FLOPs, and the
+        # step's peak HBM drops by the large fake/feature activations
+        # (cfg.train.remat; equivalence: test_train_gan.py).  R1's
+        # grad-of-grad differentiates through the checkpoint fine.
+        g_apply = jax.checkpoint(g_apply)
+        d_apply = jax.checkpoint(d_apply)
+
     def d_loss_fn(d_params, params, x_real, y_trg, style, masks, x_real_org):
         # Real branch + R1 penalty on the real reference images
         # (solver passes x_real_org=x_ref, solver.py:150-158, 292-304).

@@ -78,6 +78,50 @@ def test_one_train_step(setup):
     assert float(metrics["D/latent_reg"]) > 0
 
 
+@pytest.mark.slow
+def test_remat_step_matches_plain(setup):
+    """cfg.train.remat recomputes activations instead of storing them.
+
+    Gradients through the checkpointed generator (incl. the R1-style
+    second-order path through the discriminator) must match the plain
+    formulation to float32 noise; post-Adam params are NOT compared —
+    rsqrt normalization flips near-zero grads at epsilon differences.
+    A full remat train step must also run finite end to end.
+    """
+    import dataclasses
+
+    cfg, models, fan, state, frozen, batch = setup
+    gen = models["generator"]
+    gp = state.params["generator"]
+    x = batch["x_src"]
+    s = jnp.ones((x.shape[0], cfg.model.style_dim)) * 0.1
+
+    def loss_plain(p):
+        return jnp.mean(jnp.abs(gen.apply({"params": p}, x, s, None)))
+
+    g_ck = jax.checkpoint(
+        lambda p, x, s: gen.apply({"params": p}, x, s, None)
+    )
+
+    def loss_remat(p):
+        return jnp.mean(jnp.abs(g_ck(p, x, s)))
+
+    g0 = jax.jit(jax.grad(loss_plain))(gp)
+    g1 = jax.jit(jax.grad(loss_remat))(gp)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+    cfg_r = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, remat=True)
+    )
+    s1_state, metrics = make_train_step(models, fan, cfg_r)(state, frozen, batch)
+    assert int(s1_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"remat metric {k} not finite"
+
+
 def test_lambda_ds_schedule():
     cfg = FaceDeIdConfig()
     assert float(lambda_ds_schedule(cfg, jnp.asarray(0))) == pytest.approx(1.0)
