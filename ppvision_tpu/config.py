@@ -157,3 +157,7 @@ class CaptionConfig:
     bleu4_gate: float = 0.20  # checkpoint save gate
     max_caption_len: int = 50
     beam_size: int = 5
+    # jax.checkpoint the ResNet encoder in the train step (see
+    # TrainConfig.remat): recompute its activations in the backward
+    # pass — the encoder holds the step's biggest activation store.
+    remat: bool = False

@@ -145,15 +145,22 @@ def make_caption_train_step(
 ):
     opt_cam, opt_enc, opt_dec = make_optimizers(cfg)
 
+    def enc_apply(enc_vars, sensor):
+        return encoder.apply(enc_vars, sensor, train=True, mutable=["batch_stats"])
+
+    if cfg.remat:
+        # Recompute the ResNet-101 activations in the backward pass —
+        # the biggest activation store of the step (cfg.remat; math
+        # unchanged, tested in test_train_caption.py).
+        enc_apply = jax.checkpoint(enc_apply)
+
     def forward(camera_p, enc_vars, dec_params, batch, rng):
         noise_key, drop_key = jax.random.split(rng)
         res = lens_apply(
             camera_p, lens_consts, lens_spec, batch["images"],
             mask_mode=cfg.mask_mode, noise_key=noise_key,
         )
-        enc_out, enc_mut = encoder.apply(
-            enc_vars, res.sensor, train=True, mutable=["batch_stats"]
-        )
+        enc_out, enc_mut = enc_apply(enc_vars, res.sensor)
         out = decoder.apply(
             {"params": dec_params},
             enc_out,

@@ -36,12 +36,12 @@ def setup():
         captions=jax.random.randint(jax.random.key(2), (2, 10), 0, VOCAB),
         caption_lengths=jnp.asarray([10, 6]),
     )
-    return cfg, state, step, batch
+    return cfg, state, step, batch, (encoder, decoder, spec, consts)
 
 
 @pytest.mark.slow
 def test_caption_train_step(setup):
-    cfg, state, step, batch = setup
+    cfg, state, step, batch, _ = setup
     new_state, metrics = step(state, batch, jax.random.key(3))
 
     assert int(new_state.step) == 1
@@ -82,7 +82,7 @@ def test_sharded_caption_step_matches_single_device(setup):
     noise RNG streams, which must be sharding-invariant."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    cfg, state, step, _ = setup
+    cfg, state, step, _, _ = setup
     b = 8
     big = dict(
         images=jax.random.uniform(jax.random.key(11), (b, 32, 32, 3)),
@@ -136,8 +136,29 @@ def test_sharded_caption_step_matches_single_device(setup):
 
 
 @pytest.mark.slow
+def test_remat_caption_step_runs_and_metrics_match(setup):
+    """cfg.remat checkpoints the encoder: identical forward values
+    (metrics computed pre-optimizer are deterministic given the same
+    rng), finite step end to end."""
+    import dataclasses
+
+    cfg, state, step, batch, (encoder, decoder, spec, consts) = setup
+    rng = jax.random.key(3)
+    _, ref_metrics = step(state, batch, rng)
+    step_r = make_caption_train_step(
+        encoder, decoder, dataclasses.replace(cfg, remat=True), spec, consts
+    )
+    new_state, metrics = step_r(state, batch, rng)
+    assert int(new_state.step) == 1
+    for k, v in ref_metrics.items():
+        assert float(metrics[k]) == pytest.approx(
+            float(v), rel=1e-5, abs=1e-7
+        ), k
+
+
+@pytest.mark.slow
 def test_encoder_mask_structure(setup):
-    cfg, state, step, batch = setup
+    cfg, state, step, batch, _ = setup
     mask = _encoder_trainable_mask(state.encoder["params"], 1)
     bb = mask["ResNetBackbone_0"]
     flat0 = jax.tree_util.tree_leaves(bb["Bottleneck_0"])
