@@ -28,6 +28,11 @@ class ModelConfig:
     # Compute dtype of the conv nets (params stay float32). bfloat16 is
     # the TPU fast path; use "float32" for strict-precision runs.
     compute_dtype: str = "bfloat16"
+    # Opt-in int8 generator-decoder serving mode (ops/quant.py): ~2.4x
+    # the MXU FLOP rate on v5e, LOSSY (dynamic per-tensor activation /
+    # per-channel weight quantization). Inference-only; training and
+    # the exact eval path ignore it.
+    quant_decode: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

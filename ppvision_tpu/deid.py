@@ -71,6 +71,7 @@ def build_deid(key: jax.Array, cfg: FaceDeIdConfig | None = None) -> DeIdBundle:
         w_hpf=cfg.model.w_hpf,
         max_conv_dim=cfg.model.max_conv_dim,
         dtype=dtype,
+        quant_decode=cfg.model.quant_decode,
     )
     fan = FAN(dtype=dtype)
     kc, kf, kg, km, ke = jax.random.split(key, 5)

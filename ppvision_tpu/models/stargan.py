@@ -53,11 +53,14 @@ class _ResampleConv3x3(nn.Module):
     Declares the same ``kernel``/``bias`` params as ``nn.Conv`` (pass
     ``name="Conv_n"`` so checkpoint/import trees are unchanged); the
     fused kernels are derived from the f32 master at trace time.
+    ``quant=True`` runs the fused kernel in int8 (ops/quant.py) — an
+    opt-in lossy serving mode over the SAME params.
     """
 
     features: int
     mode: str  # "up": nearest2x -> conv; "down": conv -> avgpool2x
     dtype: Any = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -65,8 +68,35 @@ class _ResampleConv3x3(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        if self.quant and self.mode == "up":
+            from ..ops.quant import int8_conv3x3_nearest_up2x
+
+            y = int8_conv3x3_nearest_up2x(x, kernel)
+            return y + bias.astype(y.dtype)
         fn = conv3x3_nearest_up2x if self.mode == "up" else conv3x3_avgpool2x
         y = fn(x, kernel)
+        return y + bias.astype(y.dtype)
+
+
+class _QuantConv(nn.Module):
+    """Int8 stand-in for a SAME-padded stride-1 ``nn.Conv`` (same param
+    tree: kernel, bias) — see ops/quant.py.  Opt-in serving mode only."""
+
+    features: int
+    kernel: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import int8_conv
+
+        kernel = self.param(
+            "kernel", he_init, (self.kernel, self.kernel, x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        y = int8_conv(x, kernel)
         return y + bias.astype(y.dtype)
 
 
@@ -182,6 +212,7 @@ class AdainResBlk(nn.Module):
     w_hpf: float = 0.0
     upsample: bool = False
     dtype: Any = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, s):
@@ -190,12 +221,17 @@ class AdainResBlk(nn.Module):
         if self.upsample:
             # nearest-up2x + conv3x3 fused: 2.25x fewer FLOPs, same math.
             r = _ResampleConv3x3(self.dim_out, "up", dtype=self.dtype,
-                                 name="Conv_0")(r)
+                                 quant=self.quant, name="Conv_0")(r)
+        elif self.quant:
+            r = _QuantConv(self.dim_out, 3, dtype=self.dtype, name="Conv_0")(r)
         else:
             r = _conv(self.dim_out, 3, dtype=self.dtype, name="Conv_0")(r)
         r = AdaIN(self.dim_out, dtype=self.dtype)(r, s)
         r = nn.leaky_relu(r, 0.2)
-        r = _conv(self.dim_out, 3, dtype=self.dtype, name="Conv_1")(r)
+        if self.quant:
+            r = _QuantConv(self.dim_out, 3, dtype=self.dtype, name="Conv_1")(r)
+        else:
+            r = _conv(self.dim_out, 3, dtype=self.dtype, name="Conv_1")(r)
         if self.w_hpf == 0:
             # 1x1 conv commutes exactly with nearest-up (channel mix vs
             # pixel duplication): conv on the small side, 4x cheaper.
@@ -250,6 +286,9 @@ class Generator(nn.Module):
     max_conv_dim: int = 512
     w_hpf: float = 1.0
     dtype: Any = None
+    # Opt-in int8 decode (ops/quant.py): lossy serving mode over the
+    # same param tree; never used in training or the exact eval path.
+    quant_decode: bool = False
 
     def _shape(self):
         repeat_num = int(math.log2(self.img_size)) - 4
@@ -270,11 +309,11 @@ class Generator(nn.Module):
         for j in range(2):
             setattr(self, f"AdainResBlk_{j}", AdainResBlk(
                 dims[-1], dims[-1], self.style_dim, w_hpf=self.w_hpf,
-                dtype=self.dtype))
+                dtype=self.dtype, quant=self.quant_decode))
         for n, i in enumerate(reversed(range(rn))):
             setattr(self, f"AdainResBlk_{2 + n}", AdainResBlk(
                 dims[i + 1], dims[i], self.style_dim, w_hpf=self.w_hpf,
-                upsample=True, dtype=self.dtype))
+                upsample=True, dtype=self.dtype, quant=self.quant_decode))
         setattr(self, "InstanceNorm_0", InstanceNorm())
         setattr(self, "Conv_1", _ConvParamsSG((1, 1, dims[0], 3), 3))
 
@@ -448,14 +487,18 @@ def build_gan_models(
     w_hpf: float = 1.0,
     max_conv_dim: int = 512,
     dtype: Any = None,
+    quant_decode: bool = False,
 ) -> dict[str, nn.Module]:
     """Instantiate the four GAN nets (reference build_model, model.py:280-310).
 
     ``dtype`` is the compute dtype (bfloat16 on TPU); params stay f32.
     EMA copies are parameter pytrees, not modules — see train.gan.
+    ``quant_decode`` switches the generator decoder to the opt-in int8
+    serving mode (ops/quant.py); params/checkpoints are unchanged.
     """
     return dict(
-        generator=Generator(img_size, style_dim, max_conv_dim, w_hpf, dtype=dtype),
+        generator=Generator(img_size, style_dim, max_conv_dim, w_hpf, dtype=dtype,
+                            quant_decode=quant_decode),
         mapping_network=MappingNetwork(latent_dim, style_dim, num_domains, dtype=dtype),
         style_encoder=StyleEncoder(
             img_size, style_dim, num_domains, max_conv_dim, dtype=dtype
