@@ -49,13 +49,21 @@ def quantize_weight_per_oc(kernel: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarra
     return kq.astype(jnp.int8), scale
 
 
-def quantize_dynamic(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Symmetric per-tensor dynamic int8 quantization.
+def quantize_dynamic(x: jnp.ndarray, per_sample: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric dynamic int8 quantization of an NHWC activation batch.
 
-    Returns ``(x_q int8, scale f32 scalar)`` with ``x ~= x_q * scale``.
+    ``per_sample=True`` (default) computes one abs-max scale per batch
+    element — batch images are independent at serving time, so sharing
+    one scale across the batch would let one outlier image coarsen
+    everyone's grid for no FLOP saving.  Returns ``(x_q int8, scale)``
+    with ``x ~= x_q * scale``; scale is (B,1,1,1) f32 (scalar when
+    ``per_sample=False``).
     """
     xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf))
+    if per_sample:
+        amax = jnp.max(jnp.abs(xf), axis=tuple(range(1, x.ndim)), keepdims=True)
+    else:
+        amax = jnp.max(jnp.abs(xf))
     scale = jnp.maximum(amax, 1e-12) / 127.0
     xq = jnp.clip(jnp.round(xf / scale), -127, 127)
     return xq.astype(jnp.int8), scale

@@ -72,8 +72,10 @@ def test_int8_conv_exact_on_representable_values():
 def test_quantizers_roundtrip():
     x = jax.random.normal(jax.random.key(0), (4, 5, 6, 7)) * 3.0
     xq, sx = quantize_dynamic(x)
-    assert xq.dtype == jnp.int8
+    assert xq.dtype == jnp.int8 and sx.shape == (4, 1, 1, 1)
     assert _rel(xq.astype(jnp.float32) * sx, x) < 0.01
+    _, sx_t = quantize_dynamic(x, per_sample=False)
+    assert sx_t.shape == ()
     k = jax.random.normal(jax.random.key(1), (3, 3, 4, 9))
     kq, sk = quantize_weight_per_oc(k)
     assert kq.dtype == jnp.int8 and sk.shape == (9,)
