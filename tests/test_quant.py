@@ -117,3 +117,33 @@ def test_quant_decode_tracks_exact_decode(small_gens):
     assert _rel(yq, ye) < 0.25
     # And it must actually be a different computation (quant active).
     assert _rel(yq, ye) > 1e-5
+
+
+@pytest.mark.slow  # compiles the full tiny de-id pipeline twice
+def test_quant_deid_multi_style_tracks_exact():
+    """Int8 decode under the scan-over-styles serving path
+    (deid.deid_multi_style) — the exact formulation bench_int8.py runs
+    on chip."""
+    import dataclasses
+
+    from ppvision_tpu.config import CameraConfig, FaceDeIdConfig, ModelConfig
+    from ppvision_tpu.deid import build_deid, deid_multi_style
+
+    cfg = FaceDeIdConfig(
+        model=ModelConfig(img_size=64, style_dim=16, latent_dim=8,
+                          max_conv_dim=64, fan_input_size=64),
+        camera=CameraConfig(n=32),
+    )
+    qcfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, quant_decode=True)
+    )
+    bundle = build_deid(jax.random.key(0), cfg)
+    qbundle = build_deid(jax.random.key(0), qcfg)._replace(params=bundle.params)
+    xs = jax.random.uniform(jax.random.key(1), (2, 64, 64, 3))
+    xr = jax.random.uniform(jax.random.key(2), (3, 64, 64, 3))
+    yr = jnp.zeros((3,), jnp.int32)
+    ye = deid_multi_style(bundle, bundle.params, xs, xr, yr)
+    yq = deid_multi_style(qbundle, qbundle.params, xs, xr, yr)
+    assert yq.shape == ye.shape == (3, 2, 64, 64, 3)
+    assert np.isfinite(np.asarray(yq)).all()
+    assert 1e-5 < _rel(yq, ye) < 0.25
