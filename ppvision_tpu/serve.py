@@ -1,0 +1,106 @@
+"""Batching inference server for the de-id pipeline.
+
+Production-serving layer over ``deid.deid_multi_style``: callers submit
+individual source images (any count), the server packs them into
+fixed-shape device batches (one compiled program, no shape-driven
+recompiles), keeps ``depth`` batches in flight to hide host<->device
+latency behind device compute (dispatch on the axon/TPU runtime is
+async — enqueueing batch t+1 while batch t executes costs nothing), and
+returns per-request results in submission order.
+
+The reference has no serving layer (its ``--mode sample`` is a one-shot
+batch script, Face-DeId/core/utils.py:151-196); this is the
+deployment-path component the TPU rewrite adds.  Design notes:
+
+- **Static shapes**: the last batch is padded up to ``batch_size`` and
+  the padding outputs dropped on the host.  One program, compiled once.
+- **Pipelined dispatch**: results are jax.Arrays whose computation has
+  only been *enqueued*; the server syncs (host-transfers) batch
+  t-depth when dispatching batch t, so the device never idles waiting
+  on the host and the host never queues unboundedly.
+- **Styles fixed per server**: the reference styles/domains are an
+  argument of the compiled program, mirroring the eval workload
+  (metrics/eval.py:57-93).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .deid import DeIdBundle, deid_multi_style
+
+__all__ = ["DeIdServer"]
+
+
+class DeIdServer:
+    """Fixed-batch pipelined de-id inference.
+
+    ``serve(images)`` maps an iterable of (H, W, 3) float arrays to a
+    generator of (R, H, W, 3) anonymized outputs (one per source, R
+    styles each), in order.
+    """
+
+    def __init__(
+        self,
+        bundle: DeIdBundle,
+        x_ref: np.ndarray,
+        y_ref: np.ndarray,
+        batch_size: int = 128,
+        depth: int = 4,
+    ):
+        if batch_size < 1 or depth < 1:
+            raise ValueError("batch_size and depth must be >= 1")
+        self._bundle = bundle
+        self._batch = batch_size
+        self._depth = depth
+        self._x_ref = jnp.asarray(x_ref)
+        self._y_ref = jnp.asarray(y_ref, dtype=jnp.int32)
+        self._fn = jax.jit(
+            lambda p, xs, xr, yr: deid_multi_style(bundle, p, xs, xr, yr)
+        )
+
+    def warmup(self) -> None:
+        """Compile the serving program ahead of the first request."""
+        n = self._bundle.cfg.model.img_size
+        dummy = jnp.zeros((self._batch, n, n, 3), jnp.float32)
+        jax.block_until_ready(
+            self._fn(self._bundle.params, dummy, self._x_ref, self._y_ref)
+        )
+
+    def _dispatch(self, batch_np: np.ndarray) -> jax.Array:
+        return self._fn(
+            self._bundle.params, jnp.asarray(batch_np), self._x_ref, self._y_ref
+        )
+
+    def serve(self, images: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
+        """Yield one (R, H, W, 3) float32 output per input image, in order."""
+        n = self._bundle.cfg.model.img_size
+        inflight: list[tuple[jax.Array, int]] = []  # (result, valid count)
+
+        def drain(entry):
+            fakes, valid = entry
+            host = np.asarray(fakes)  # (R, B, H, W, 3) — the only sync point
+            for i in range(valid):
+                yield host[:, i]
+
+        pending: list[np.ndarray] = []
+        for img in images:
+            img = np.asarray(img, dtype=np.float32)
+            if img.shape != (n, n, 3):
+                raise ValueError(f"expected ({n}, {n}, 3) image, got {img.shape}")
+            pending.append(img)
+            if len(pending) == self._batch:
+                inflight.append((self._dispatch(np.stack(pending)), len(pending)))
+                pending = []
+                if len(inflight) > self._depth:
+                    yield from drain(inflight.pop(0))
+        if pending:
+            pad = np.zeros((self._batch - len(pending), n, n, 3), np.float32)
+            batch = np.concatenate([np.stack(pending), pad]) if pad.shape[0] else np.stack(pending)
+            inflight.append((self._dispatch(batch), len(pending)))
+        for entry in inflight:
+            yield from drain(entry)
