@@ -51,14 +51,40 @@ class DeIdServer:
         y_ref: np.ndarray,
         batch_size: int = 128,
         depth: int = 4,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` — each batch's
+        leading axis shards over the mesh's ``data`` axis (params and
+        styles replicate), so one server drives a whole slice; GSPMD
+        partitions the program and ``batch_size`` must divide the mesh
+        size.  Instance/AdaIN norms are per-sample, so the sharded
+        program is the single-device math (tests/test_deid_sharding.py).
+        """
         if batch_size < 1 or depth < 1:
             raise ValueError("batch_size and depth must be >= 1")
+        if mesh is not None and batch_size % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over the mesh's "
+                f"data axis ({mesh.shape['data']})"
+            )
         self._bundle = bundle
         self._batch = batch_size
         self._depth = depth
-        self._x_ref = jnp.asarray(x_ref)
-        self._y_ref = jnp.asarray(y_ref, dtype=jnp.int32)
+        self._mesh = mesh
+        if mesh is not None:
+            from .parallel.mesh import batch_sharding, replicate
+
+            self._x_ref = jax.device_put(jnp.asarray(x_ref), replicate(mesh))
+            self._y_ref = jax.device_put(
+                jnp.asarray(y_ref, dtype=jnp.int32), replicate(mesh)
+            )
+            self._params = jax.device_put(bundle.params, replicate(mesh))
+            self._in_shard = batch_sharding(mesh)
+        else:
+            self._x_ref = jnp.asarray(x_ref)
+            self._y_ref = jnp.asarray(y_ref, dtype=jnp.int32)
+            self._params = bundle.params
+            self._in_shard = None
         self._fn = jax.jit(
             lambda p, xs, xr, yr: deid_multi_style(bundle, p, xs, xr, yr)
         )
@@ -66,15 +92,14 @@ class DeIdServer:
     def warmup(self) -> None:
         """Compile the serving program ahead of the first request."""
         n = self._bundle.cfg.model.img_size
-        dummy = jnp.zeros((self._batch, n, n, 3), jnp.float32)
-        jax.block_until_ready(
-            self._fn(self._bundle.params, dummy, self._x_ref, self._y_ref)
-        )
+        dummy = np.zeros((self._batch, n, n, 3), np.float32)
+        jax.block_until_ready(self._dispatch(dummy))
 
     def _dispatch(self, batch_np: np.ndarray) -> jax.Array:
-        return self._fn(
-            self._bundle.params, jnp.asarray(batch_np), self._x_ref, self._y_ref
-        )
+        x = jnp.asarray(batch_np)
+        if self._in_shard is not None:
+            x = jax.device_put(x, self._in_shard)
+        return self._fn(self._params, x, self._x_ref, self._y_ref)
 
     def serve(self, images: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
         """Yield one (R, H, W, 3) float32 output per input image, in order."""

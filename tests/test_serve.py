@@ -53,6 +53,38 @@ def test_server_matches_direct_call_and_pads_tail(tiny):
     np.testing.assert_array_equal(outs[4], tail[:, 0])
 
 
+@pytest.mark.slow  # GSPMD compile of the tiny pipeline on 8 virtual devices
+def test_sharded_server_matches_single_device():
+    """DeIdServer(mesh=...) shards each batch over the data axis; f32
+    compute is exactly shard-invariant (see test_deid_sharding)."""
+    from ppvision_tpu.parallel.mesh import make_mesh
+
+    cfg = FaceDeIdConfig(
+        model=ModelConfig(img_size=64, style_dim=16, latent_dim=8,
+                          max_conv_dim=64, fan_input_size=64,
+                          compute_dtype="float32"),
+        camera=CameraConfig(n=32),
+    )
+    bundle = build_deid(jax.random.key(0), cfg)
+    xr = np.asarray(jax.random.uniform(jax.random.key(2), (2, 64, 64, 3)))
+    yr = np.zeros((2,), np.int32)
+    rng = np.random.default_rng(1)
+    imgs = [rng.random((64, 64, 3)).astype(np.float32) for _ in range(9)]
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    sharded = DeIdServer(bundle, xr, yr, batch_size=8, depth=2, mesh=mesh)
+    single = DeIdServer(bundle, xr, yr, batch_size=8, depth=2)
+    got = list(sharded.serve(imgs))
+    want = list(single.serve(imgs))
+    assert len(got) == len(want) == 9
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=0, atol=5e-4)
+
+    with pytest.raises(ValueError):
+        DeIdServer(bundle, xr, yr, batch_size=3, mesh=mesh)
+
+
 @pytest.mark.slow
 def test_server_rejects_bad_shapes_and_args(tiny):
     bundle, xr, yr = tiny
