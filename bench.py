@@ -103,20 +103,52 @@ def main() -> None:
     float(fn(bundle.params, x_src, x_ref1, y_ref1))  # compile + warm up
     single_img_s = b / chain_time(fn, bundle.params, x_src, x_ref1, y_ref1)
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "de-id images/sec/chip (camera+FAN+generator, 128x128, "
-                    f"{r} styles/src as reference eval)"
-                ),
-                "value": round(img_s, 1),
-                "unit": "img/s",
-                "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
-                "single_style_img_s": round(single_img_s, 1),
-            }
-        )
-    )
+    out = {
+        "metric": (
+            "de-id images/sec/chip (camera+FAN+generator, 128x128, "
+            f"{r} styles/src as reference eval)"
+        ),
+        "value": round(img_s, 1),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
+        "single_style_img_s": round(single_img_s, 1),
+    }
+
+    # Opt-in int8-decode serving number (ops/quant.py), measured LAST:
+    # the headline floats above are already on host, so an int8
+    # compile/runtime failure cannot poison them — it just drops the
+    # extra field.  Lossy mode, reported separately; never the headline.
+    if os.environ.get("PPVISION_BENCH_INT8", "0") == "1":
+        try:
+            import dataclasses
+
+            qcfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, quant_decode=True)
+            )
+            qbundle = build_deid(jax.random.key(0), qcfg)._replace(
+                params=bundle.params
+            )
+            qfn = jax.jit(
+                lambda p, xs, xr, yr: deid_multi_style(qbundle, p, xs, xr, yr)[
+                    0, 0, 0, 0, 0
+                ]
+            )
+            qwarm = float(
+                jax.jit(
+                    lambda p, xs, xr, yr: jnp.sum(
+                        deid_multi_style(qbundle, p, xs, xr, yr)
+                    )
+                )(qbundle.params, x_src, x_ref, y_ref)
+            )
+            assert qwarm == qwarm and abs(qwarm) != float("inf")
+            float(qfn(qbundle.params, x_src, x_ref, y_ref))
+            out["int8_img_s"] = round(
+                (b * r) / chain_time(qfn, qbundle.params, x_src, x_ref, y_ref), 1
+            )
+        except Exception as e:  # noqa: BLE001 — diagnostic field only
+            out["int8_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
