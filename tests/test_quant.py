@@ -97,6 +97,7 @@ def small_gens():
     return exact, quant, params, x, s, masks
 
 
+@pytest.mark.slow  # traces the full quant Generator init (~1min on CPU)
 def test_quant_decode_param_tree_identical(small_gens):
     exact, quant, params, x, s, masks = small_gens
     qparams = quant.init(jax.random.key(4), x, s, masks)["params"]
@@ -105,6 +106,7 @@ def test_quant_decode_param_tree_identical(small_gens):
     assert ref == got
 
 
+@pytest.mark.slow  # compiles exact + quant decode graphs (~1min on CPU)
 def test_quant_decode_tracks_exact_decode(small_gens):
     exact, quant, params, x, s, masks = small_gens
     ye = exact.apply({"params": params}, x, s, masks)
