@@ -100,12 +100,48 @@ class _QuantConv(nn.Module):
         return y + bias.astype(y.dtype)
 
 
+class Conv(nn.Conv):
+    """``nn.Conv`` whose stride-1 SAME 3x3 calls route through the
+    Winograd F(2,3) Pallas kernel when ``PPVISION_WINOGRAD=1`` and the
+    shape is MXU-eligible (``ops/winograd.py``); otherwise defers to
+    ``nn.Conv`` unchanged.  The class is deliberately named ``Conv`` so
+    Flax auto-naming (``Conv_0``, ``Conv_1``, ...) and checkpoint /
+    torch-import param trees are identical to plain ``nn.Conv``."""
+
+    @nn.compact
+    def __call__(self, x):
+        import os
+
+        from ..ops import winograd
+
+        if (
+            os.environ.get("PPVISION_WINOGRAD", "0") == "1"
+            and self.kernel_size == (3, 3)
+            and self.strides == (1, 1)
+            and self.padding == "SAME"
+            and self.use_bias
+            and winograd.winograd_eligible(
+                x.astype(self.dtype or x.dtype), self.features
+            )
+        ):
+            kernel = self.param(
+                "kernel", self.kernel_init, (3, 3, x.shape[-1], self.features)
+            )
+            bias = self.param("bias", self.bias_init, (self.features,))
+            x, kernel, bias = nn.dtypes.promote_dtype(
+                x, kernel, bias, dtype=self.dtype
+            )
+            y = winograd.conv3x3(x, kernel)
+            return y + jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+        return super().__call__(x)
+
+
 def _conv(
     features: int, kernel: int, stride: int = 1, pad: str | int = "SAME",
     bias=True, dtype=None, name=None,
 ):
     padding = pad if isinstance(pad, str) else [(pad, pad), (pad, pad)]
-    return nn.Conv(
+    return Conv(
         features,
         (kernel, kernel),
         strides=(stride, stride),
