@@ -92,7 +92,10 @@ class DeIdServer:
     def warmup(self) -> None:
         """Compile the serving program ahead of the first request."""
         n = self._bundle.cfg.model.img_size
-        dummy = np.zeros((self._batch, n, n, 3), np.float32)
+        # Mid-gray, not zeros: an all-zero frame hits the camera's
+        # 0/0 max-normalize (NaN) — harmless for a discarded warmup,
+        # but a clean program output keeps debugging sane.
+        dummy = np.full((self._batch, n, n, 3), 0.5, np.float32)
         jax.block_until_ready(self._dispatch(dummy))
 
     def _dispatch(self, batch_np: np.ndarray) -> jax.Array:
@@ -101,8 +104,19 @@ class DeIdServer:
             x = jax.device_put(x, self._in_shard)
         return self._fn(self._params, x, self._x_ref, self._y_ref)
 
-    def serve(self, images: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
-        """Yield one (R, H, W, 3) float32 output per input image, in order."""
+    def serve(
+        self, images: Iterable[np.ndarray], max_wait_s: float | None = None
+    ) -> Iterator[np.ndarray]:
+        """Yield one (R, H, W, 3) float32 output per input image, in order.
+
+        ``max_wait_s``: flush deadline for partial batches.  Without it
+        a streaming caller that trickles requests waits until either
+        ``batch_size`` friends arrive or the iterator ends; with it, a
+        pending partial batch is padded and dispatched once the OLDEST
+        pending request has waited ``max_wait_s`` seconds (the input
+        iterable is then pulled on a background thread so a blocked
+        producer cannot stall the deadline).
+        """
         n = self._bundle.cfg.model.img_size
         inflight: list[tuple[jax.Array, int]] = []  # (result, valid count)
 
@@ -112,20 +126,87 @@ class DeIdServer:
             for i in range(valid):
                 yield host[:, i]
 
-        pending: list[np.ndarray] = []
-        for img in images:
+        def check(img) -> np.ndarray:
             img = np.asarray(img, dtype=np.float32)
             if img.shape != (n, n, 3):
                 raise ValueError(f"expected ({n}, {n}, 3) image, got {img.shape}")
-            pending.append(img)
-            if len(pending) == self._batch:
-                inflight.append((self._dispatch(np.stack(pending)), len(pending)))
-                pending = []
-                if len(inflight) > self._depth:
-                    yield from drain(inflight.pop(0))
-        if pending:
-            pad = np.zeros((self._batch - len(pending), n, n, 3), np.float32)
-            batch = np.concatenate([np.stack(pending), pad]) if pad.shape[0] else np.stack(pending)
+            return img
+
+        def flush(pending: list[np.ndarray]) -> None:
+            # Pad by REPLICATING the last valid image, not with zeros:
+            # an all-zero frame is degenerate for the camera's per-image
+            # max-normalize (0/0 -> NaN, reference Optics.py:128) and
+            # the generator's global skip-cache mean (reference
+            # model.py:174 ``x - x.mean()``) couples samples, so one
+            # NaN pad would poison every output in the batch.
+            k = self._batch - len(pending)
+            batch = np.stack(pending + [pending[-1]] * k)
             inflight.append((self._dispatch(batch), len(pending)))
+
+        pending: list[np.ndarray] = []
+        if max_wait_s is None:
+            for img in images:
+                pending.append(check(img))
+                if len(pending) == self._batch:
+                    inflight.append((self._dispatch(np.stack(pending)), len(pending)))
+                    pending = []
+                    if len(inflight) > self._depth:
+                        yield from drain(inflight.pop(0))
+        else:
+            import queue
+            import threading
+            import time
+
+            q: queue.Queue = queue.Queue(maxsize=2 * self._batch)
+            _END = object()
+
+            errs: list[BaseException] = []
+
+            def pull():
+                try:
+                    for img in images:
+                        q.put(img)
+                except BaseException as e:  # surfaced after drain
+                    errs.append(e)
+                finally:
+                    q.put(_END)
+
+            t = threading.Thread(target=pull, daemon=True)
+            t.start()
+            oldest: float | None = None
+            done = False
+            while not done:
+                timeout = (
+                    None
+                    if oldest is None
+                    else max(0.0, oldest + max_wait_s - time.monotonic())
+                )
+                try:
+                    item = q.get(timeout=timeout)
+                except queue.Empty:
+                    # Deadline hit: the stream is idle, so dispatch the
+                    # padded partial batch and drain EVERYTHING in
+                    # flight — the waiting caller gets results now
+                    # rather than when batch_size-1 friends arrive.
+                    flush(pending)
+                    pending, oldest = [], None
+                    while inflight:
+                        yield from drain(inflight.pop(0))
+                    continue
+                if item is _END:
+                    if errs:
+                        raise errs[0]
+                    done = True
+                    continue
+                pending.append(check(item))
+                if oldest is None:
+                    oldest = time.monotonic()
+                if len(pending) == self._batch:
+                    inflight.append((self._dispatch(np.stack(pending)), len(pending)))
+                    pending, oldest = [], None
+                    if len(inflight) > self._depth:
+                        yield from drain(inflight.pop(0))
+        if pending:
+            flush(pending)
         for entry in inflight:
             yield from drain(entry)

@@ -46,11 +46,16 @@ def test_server_matches_direct_call_and_pads_tail(tiny):
     direct = np.asarray(fn(bundle.params, jnp.asarray(np.stack(imgs[:2]))))
     np.testing.assert_array_equal(outs[0], direct[:, 0])
     np.testing.assert_array_equal(outs[1], direct[:, 1])
+    # The tail batch pads by replicating the last valid image (zero
+    # padding would NaN-poison the whole batch through the camera's
+    # 0/0 max-normalize + the generator's global skip-cache mean).
     tail = np.asarray(fn(
         bundle.params,
-        jnp.asarray(np.stack([imgs[4], np.zeros((64, 64, 3), np.float32)])),
+        jnp.asarray(np.stack([imgs[4], imgs[4]])),
     ))
     np.testing.assert_array_equal(outs[4], tail[:, 0])
+    for o in outs:
+        assert np.isfinite(o).all()
 
 
 @pytest.mark.slow  # GSPMD compile of the tiny pipeline on 8 virtual devices
@@ -93,3 +98,72 @@ def test_server_rejects_bad_shapes_and_args(tiny):
     server = DeIdServer(bundle, xr, yr, batch_size=2)
     with pytest.raises(ValueError):
         list(server.serve([np.zeros((32, 32, 3), np.float32)]))
+
+
+@pytest.mark.slow  # shares the tiny pipeline compile
+def test_flush_deadline_serves_lone_request(tiny):
+    """A streaming caller with a trickle of requests must not wait for
+    batch_size-1 friends: with max_wait_s the oldest pending request is
+    flushed as a padded partial batch (VERDICT r2 weak #6)."""
+    import time
+
+    bundle, xr, yr = tiny
+    rng = np.random.default_rng(1)
+    img0 = rng.random((64, 64, 3)).astype(np.float32)
+    img1 = rng.random((64, 64, 3)).astype(np.float32)
+
+    server = DeIdServer(bundle, xr, yr, batch_size=4, depth=1)
+    server.warmup()
+
+    import threading
+
+    got_first = threading.Event()
+
+    def trickle():
+        yield img0
+        # Producer releases the second image only AFTER the consumer
+        # received the first output: if the deadline flush did not
+        # work, out0 could only arrive after this 20 s timeout.
+        released_early = not got_first.wait(timeout=20.0)
+        assert not released_early, "consumer never received the lone request"
+        yield img1
+
+    t0 = time.monotonic()
+    gen = server.serve(trickle(), max_wait_s=0.15)
+    out0 = next(gen)
+    got_first.set()
+    t_first = time.monotonic() - t0
+    assert out0.shape == (3, 64, 64, 3)
+    assert t_first < 15.0, f"lone request took {t_first:.2f}s"
+
+    # Value check: identical to the direct padded-batch program.
+    fn = jax.jit(
+        lambda p, xs: deid_multi_style(
+            bundle, p, xs, jnp.asarray(xr), jnp.asarray(yr)
+        )
+    )
+    batch = np.stack([img0] * 4)  # replicate-padding semantics
+    direct = np.asarray(fn(bundle.params, jnp.asarray(batch)))
+    np.testing.assert_array_equal(out0, direct[:, 0])
+    assert np.isfinite(out0).all()
+
+    # The rest of the stream still arrives, in order.
+    out1 = next(gen)
+    assert out1.shape == (3, 64, 64, 3)
+    assert list(gen) == []
+
+
+@pytest.mark.slow
+def test_flush_deadline_full_batches_unaffected(tiny):
+    """With a fast producer, max_wait_s never fires: outputs match the
+    no-deadline path exactly."""
+    bundle, xr, yr = tiny
+    rng = np.random.default_rng(2)
+    imgs = [rng.random((64, 64, 3)).astype(np.float32) for _ in range(5)]
+    server = DeIdServer(bundle, xr, yr, batch_size=2, depth=1)
+    server.warmup()
+    plain = list(server.serve(imgs))
+    timed = list(server.serve(imgs, max_wait_s=30.0))
+    assert len(plain) == len(timed) == 5
+    for a, b in zip(plain, timed):
+        np.testing.assert_array_equal(a, b)
