@@ -257,11 +257,19 @@ def calculate_metrics(
                     os.makedirs(os.path.join(out_dir, task), exist_ok=True)
                     from PIL import Image
 
-                    arr = np.clip(outs_np[0] * 255, 0, 255).astype(np.uint8)
-                    for k, im in enumerate(arr):
-                        Image.fromarray(im).save(
-                            os.path.join(out_dir, task, f"{n_seen}_{k}.png")
-                        )
+                    # ALL R styles per source, reference file-per-output
+                    # layout '%.4i_%.2i.png' (imgidx, styleidx), both
+                    # 1-based (eval.py:85-93).
+                    base = n_seen - batch.shape[0]
+                    arr = np.clip(outs_np * 255, 0, 255).astype(np.uint8)
+                    for j in range(arr.shape[0]):
+                        for k in range(arr.shape[1]):
+                            Image.fromarray(arr[j, k]).save(
+                                os.path.join(
+                                    out_dir, task,
+                                    "%.4i_%.2i.png" % (base + k + 1, j + 1),
+                                )
+                            )
             results[f"LPIPS_{mode}/{task}"] = float(np.mean(lpips_vals)) if lpips_vals else 0.0
             results[f"FaceIDcos_{mode}/{task}"] = float(np.mean(id_vals)) if id_vals else 0.0
 

@@ -200,5 +200,18 @@ def fid_from_activations(real: np.ndarray, fake: np.ndarray) -> float:
 def collect_activations(
     model: InceptionV3, params: Any, batches: Iterable[np.ndarray]
 ) -> np.ndarray:
+    """Inception activations over batches, ONE compiled program: the
+    ragged last batch is padded (replicating its final row) up to the
+    first batch's size and the pad activations dropped — a second
+    shape would trigger a full Inception re-jit for one batch."""
     fn = jax.jit(lambda x: model.apply(params, x))
-    return np.concatenate([np.asarray(fn(jnp.asarray(b))) for b in batches], axis=0)
+    outs = []
+    full = None
+    for b in batches:
+        b = np.asarray(b)
+        k = b.shape[0]
+        full = full or k
+        if 0 < k < full:
+            b = np.concatenate([b, np.repeat(b[-1:], full - k, axis=0)])
+        outs.append(np.asarray(fn(jnp.asarray(b)))[:k])
+    return np.concatenate(outs, axis=0)

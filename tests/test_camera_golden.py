@@ -145,3 +145,65 @@ def test_jax_psf_is_float64_self_consistent(pair):
     psf64 = np.transpose(psf64, (1, 2, 0))
 
     assert np.abs(psf32 - psf64).max() < 1e-4 * psf64.max()
+
+
+def test_unaberrated_psf_is_airy_disk():
+    """Reference-INDEPENDENT physics check (SURVEY §4 item 1): a flat
+    (zero-Zernike) pupil focused on the sensor (scene_depth == z0, so
+    the thin-lens design point is exactly in focus) must produce the
+    closed-form Airy pattern — peak position, first-null radius
+    r = 0.61 lambda zi / a, encircled energy 83.8%, and the full
+    radial profile.  Catches propagation-math errors the golden
+    tests would inherit from a shared misreading of the torch code."""
+    import numpy as np
+    from scipy.special import j1
+
+    from ppvision_tpu.optics.camera import (
+        CameraParams,
+        CameraSpec,
+        compute_psf,
+        make_camera_constants,
+    )
+
+    spec = CameraSpec(
+        n=256, zernike_terms=64, aperture_radius=0.5e-3,
+        z0=5.0, scene_depth=5.0, wavelengths=(550e-9,),
+        couple_wavelengths=False,
+    )
+    consts = make_camera_constants(spec)
+    params = CameraParams(
+        zernike_train=jnp.zeros(61), zernike_frozen=jnp.zeros(3)
+    )
+    psf = np.asarray(compute_psf(params, consts).psf)[:, :, 0]
+    n = spec.n
+
+    # 1. Diffraction peak dead-center.
+    assert np.unravel_index(np.argmax(psf), psf.shape) == (n // 2, n // 2)
+
+    yy, xx = np.mgrid[0:n, 0:n]
+    r = np.sqrt((yy - n // 2) ** 2 + (xx - n // 2) ** 2)
+
+    # 2. First null at 0.61 lambda zi / a = 9.04 px: the azimuthal mean
+    # profile's first local minimum sits in the 9-px bin, >=100x below
+    # the peak.
+    prof = np.array(
+        [psf[(r >= k - 0.5) & (r < k + 0.5)].mean() for k in range(16)]
+    )
+    null_px = 0.61 * 550e-9 * spec.zi / spec.aperture_radius / spec.pixel_pitch
+    assert 8.5 < null_px < 9.5  # geometry sanity
+    assert np.argmin(prof) == 9
+    assert prof[9] < psf.max() / 100.0
+
+    # 3. Encircled energy inside the first null: 83.8% for an ideal
+    # circular aperture.
+    ee = psf[r <= null_px].sum() / psf.sum()
+    assert abs(ee - 0.838) < 0.01, ee
+
+    # 4. Whole-core agreement with the closed-form Airy intensity.
+    k0 = 2.0 * np.pi / 550e-9
+    x = k0 * spec.aperture_radius * (r * spec.pixel_pitch) / spec.zi
+    x = np.maximum(x, 1e-9)
+    airy = (2.0 * j1(x) / x) ** 2
+    m = r <= 20
+    corr = np.corrcoef(psf[m], airy[m])[0, 1]
+    assert corr > 0.999, corr

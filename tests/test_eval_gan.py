@@ -64,6 +64,12 @@ def test_calculate_metrics_latent_and_reference(bundle, tmp_path):
         assert os.path.exists(
             os.path.join(str(tmp_path / f"out_{mode}"), f"metrics_{mode}_0.json")
         )
+        # ALL num_outs styles per source dumped, reference naming
+        # '%.4i_%.2i.png' (eval.py:85-93): 2 sources x 2 styles per task.
+        dumped = sorted(os.listdir(tmp_path / f"out_{mode}" / "cat2dog"))
+        assert dumped == sorted(
+            "%.4i_%.2i.png" % (i, j) for i in (1, 2) for j in (1, 2)
+        ), dumped
 
 
 @pytest.mark.slow
