@@ -114,11 +114,12 @@ def main() -> None:
         "single_style_img_s": round(single_img_s, 1),
     }
 
-    # Opt-in int8-decode serving number (ops/quant.py), measured LAST:
-    # the headline floats above are already on host, so an int8
-    # compile/runtime failure cannot poison them — it just drops the
-    # extra field.  Lossy mode, reported separately; never the headline.
-    if os.environ.get("PPVISION_BENCH_INT8", "0") == "1":
+    # Int8-decode serving number (ops/quant.py), measured LAST and by
+    # DEFAULT (PPVISION_BENCH_INT8=0 opts out): the headline floats
+    # above are already on host, so an int8 compile/runtime failure
+    # cannot poison them — it just drops the extra field.  Lossy mode,
+    # reported separately; never the headline.
+    if os.environ.get("PPVISION_BENCH_INT8", "1") != "0":
         try:
             import dataclasses
 

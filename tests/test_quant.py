@@ -121,15 +121,13 @@ def test_quant_decode_tracks_exact_decode(small_gens):
     assert _rel(yq, ye) > 1e-5
 
 
-@pytest.mark.slow  # compiles the full tiny de-id pipeline twice
-def test_quant_deid_multi_style_tracks_exact():
-    """Int8 decode under the scan-over-styles serving path
-    (deid.deid_multi_style) — the exact formulation bench_int8.py runs
-    on chip."""
+@pytest.fixture(scope="module")
+def tiny_deid_pair():
+    """(exact bundle, int8-decode bundle sharing its params)."""
     import dataclasses
 
     from ppvision_tpu.config import CameraConfig, FaceDeIdConfig, ModelConfig
-    from ppvision_tpu.deid import build_deid, deid_multi_style
+    from ppvision_tpu.deid import build_deid
 
     cfg = FaceDeIdConfig(
         model=ModelConfig(img_size=64, style_dim=16, latent_dim=8,
@@ -141,6 +139,17 @@ def test_quant_deid_multi_style_tracks_exact():
     )
     bundle = build_deid(jax.random.key(0), cfg)
     qbundle = build_deid(jax.random.key(0), qcfg)._replace(params=bundle.params)
+    return bundle, qbundle
+
+
+@pytest.mark.slow  # compiles the full tiny de-id pipeline twice
+def test_quant_deid_multi_style_tracks_exact(tiny_deid_pair):
+    """Int8 decode under the scan-over-styles serving path
+    (deid.deid_multi_style) — the exact formulation bench_int8.py runs
+    on chip."""
+    from ppvision_tpu.deid import deid_multi_style
+
+    bundle, qbundle = tiny_deid_pair
     xs = jax.random.uniform(jax.random.key(1), (2, 64, 64, 3))
     xr = jax.random.uniform(jax.random.key(2), (3, 64, 64, 3))
     yr = jnp.zeros((3,), jnp.int32)
@@ -149,3 +158,74 @@ def test_quant_deid_multi_style_tracks_exact():
     assert yq.shape == ye.shape == (3, 2, 64, 64, 3)
     assert np.isfinite(np.asarray(yq)).all()
     assert 1e-5 < _rel(yq, ye) < 0.25
+
+
+@pytest.mark.slow  # deid compiles + Inception/IResNet forwards on CPU
+def test_quant_task_metrics(tiny_deid_pair):
+    """Task-metric impact of int8 decode (VERDICT r2 weak #3): SSIM,
+    face-ID cosine drift, and small-N FID delta between exact and int8
+    outputs of the SAME pipeline/params (acceptance thresholds
+    documented in PERF.md round-3).  Random weights are the worst case
+    — no trained structure absorbs the rounding."""
+    from ppvision_tpu.deid import deid_multi_style
+    from ppvision_tpu.metrics.face_id import (
+        IResNet,
+        face_id_cosine,
+        make_embed_fn,
+    )
+    from ppvision_tpu.metrics.fid import (
+        InceptionV3,
+        collect_activations,
+        fid_from_activations,
+    )
+    from ppvision_tpu.metrics.psnr_ssim import ssim
+
+    bundle, qbundle = tiny_deid_pair
+    xs = jax.random.uniform(jax.random.key(1), (8, 64, 64, 3))
+    xr = jax.random.uniform(jax.random.key(2), (2, 64, 64, 3))
+    yr = jnp.zeros((2,), jnp.int32)
+    ye = np.asarray(
+        deid_multi_style(bundle, bundle.params, xs, xr, yr)
+    ).reshape(-1, 64, 64, 3)
+    yq = np.asarray(
+        deid_multi_style(qbundle, qbundle.params, xs, xr, yr)
+    ).reshape(-1, 64, 64, 3)
+    # Compare in saved-image space ([-1,1] -> clipped [0,1]).
+    e01 = np.clip(ye * 0.5 + 0.5, 0, 1)
+    q01 = np.clip(yq * 0.5 + 0.5, 0, 1)
+
+    # SSIM(exact, int8): >= 0.9 (measured ~0.984 at random weights).
+    s = float(ssim(jnp.asarray(e01), jnp.asarray(q01)))
+    assert s > 0.9, s
+
+    # Face-ID cosine drift: int8 must preserve identity features —
+    # cos(exact, int8) >= 0.98 (measured ~0.995), and far above the
+    # unrelated-image anchor.
+    net = IResNet(layers=(1, 1, 1, 1))
+    p = net.init(jax.random.key(3), jnp.zeros((1, 112, 112, 3)))["params"]
+    emb = jax.jit(make_embed_fn(net, p))
+    cos = float(face_id_cosine(emb, jnp.asarray(e01), jnp.asarray(q01)))
+    noise = jax.random.uniform(jax.random.key(9), e01.shape)
+    cos_noise = float(face_id_cosine(emb, jnp.asarray(e01), noise))
+    assert cos > 0.98, cos
+    assert cos > cos_noise + 0.3, (cos, cos_noise)
+
+    # Small-N FID delta: FID(exact, int8) must be a small fraction of
+    # the unrelated-image FID scale (measured ~7e-4x).
+    inc = InceptionV3()
+    ivars = inc.init(jax.random.key(5), jnp.zeros((1, 299, 299, 3)))
+
+    def prep(a):
+        x = jax.image.resize(
+            jnp.asarray(a), (a.shape[0], 299, 299, 3), "bilinear"
+        )
+        mean = jnp.asarray([0.485, 0.456, 0.406])
+        std = jnp.asarray([0.229, 0.224, 0.225])
+        return np.asarray((x - mean) / std)
+
+    ae = collect_activations(inc, ivars, [prep(e01)])
+    aq = collect_activations(inc, ivars, [prep(q01)])
+    an = collect_activations(inc, ivars, [prep(np.asarray(noise))])
+    f_eq = fid_from_activations(ae, aq)
+    f_en = fid_from_activations(ae, an)
+    assert f_eq < 0.1 * f_en, (f_eq, f_en)
