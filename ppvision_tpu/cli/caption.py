@@ -91,10 +91,12 @@ def run_train(args):
     from ..config import CaptionConfig
     from ..data.caption import CaptionDataset, caption_batches
     from ..metrics.eval_caption import evaluate_captions
+    from ..parallel.mesh import initialize_multihost
     from ..train.caption import make_caption_train_step
     from ..utils.checkpoint import StepCheckpoints
     from ..utils.logging import MetricWriter
 
+    initialize_multihost()  # no-op single-process; must precede jax ops
     cfg = CaptionConfig(batch_size=args.batch_size, epochs=args.epochs)
     with open(os.path.join(args.data_folder, f"WORDMAP_{args.data_name}.json")) as f:
         word_map = json.load(f)
@@ -136,23 +138,40 @@ def run_train(args):
     # replicated — the same SPMD wiring as the GAN trainer
     # (cli/main.py run_train; SURVEY §7.4 "batch over ICI from day one").
     # The reference captioner was single-GPU (Image_Caption/train.py:37).
-    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    # Multi-host: every process walks the same global batch order and
+    # materializes only its block (data/caption.py caption_batches);
+    # eval + checkpoint + logs are rank-0-only.
+    from ..parallel.mesh import is_primary, make_mesh, replicate_pytree, shard_batch
 
     mesh = make_mesh(axis_names=("data",))
-    state = jax.device_put(state, replicate(mesh))
-    writer = MetricWriter(args.out_dir, log_interval=50)
+    state = replicate_pytree(mesh, state)
+    primary = is_primary()
+    writer = MetricWriter(args.out_dir, log_interval=50) if primary else None
     best_bleu4, step = 0.0, 0
     rng = jax.random.key(1)
     print(f"Start caption training on {len(mesh.devices.flat)} device(s)...")
     for epoch in range(start_epoch, cfg.epochs):
-        for batch in caption_batches(train_ds, cfg.batch_size, shuffle=True, seed=epoch):
+        for batch in caption_batches(
+            train_ds, cfg.batch_size, shuffle=True, seed=epoch,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        ):
             rng, sub = jax.random.split(rng)
             state, metrics = step_fn(state, shard_batch(mesh, batch), sub)
             step += 1
-            writer.write(step, metrics)
+            if writer is not None:
+                writer.write(step, metrics)
+        if not primary:
+            continue
+        # Eval runs single-controller on the primary: pull host-local
+        # copies of the (replicated) params so the eval jits are plain
+        # local programs, not global-array computations.
+        eval_state = (
+            jax.device_get(state) if jax.process_count() > 1 else state
+        )
         res = evaluate_captions(
-            cfg, encoder, decoder, state.encoder, state.decoder,
-            (state.camera, consts, spec), val_ds, word_map, max_images=200,
+            cfg, encoder, decoder, eval_state.encoder, eval_state.decoder,
+            (eval_state.camera, consts, spec), val_ds, word_map, max_images=200,
         )
         writer.write(step, {f"val_{k}": v for k, v in res.items()}, force=True)
         # BLEU-4 save gate (reference train.py:230-238).

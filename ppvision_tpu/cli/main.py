@@ -88,12 +88,21 @@ def run_train(cfg, use_wandb: bool = False) -> None:
     import os
 
     from ..data.face import FaceBatcher
-    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    from ..parallel.mesh import (
+        initialize_multihost,
+        is_primary,
+        make_mesh,
+        replicate_pytree,
+        shard_batch,
+    )
     from ..train.gan import init_gan, make_train_step
     from ..train.pretrained import build_aux_losses, load_frozen_nets
     from ..utils.checkpoint import StepCheckpoints
     from ..utils.logging import MetricWriter
 
+    # Join a multi-host job when one is configured (auto-detect; no-op
+    # for single-process runs).  Must precede every jax op below.
+    initialize_multihost()
     key = jax.random.key(cfg.train.seed)
     models, fan, state = init_gan(key, cfg)
     # Pretrained camera + wing FAN + fan_priv decoder (solver.py:44-48, 99).
@@ -130,12 +139,18 @@ def run_train(cfg, use_wandb: bool = False) -> None:
     # params/EMA/optimizer state replicated; XLA inserts the gradient
     # all-reduces (the TPU-native nn.DataParallel, model.py:281-308).
     mesh = make_mesh(axis_names=(cfg.parallel.data_axis,))
-    rep = replicate(mesh)
-    state = jax.device_put(state, rep)
-    frozen = jax.device_put(frozen, rep)
+    state = replicate_pytree(mesh, state)
+    frozen = replicate_pytree(mesh, frozen)
 
-    writer = MetricWriter(
-        cfg.paths.checkpoint_save_dir, use_wandb, cfg.train.print_every
+    # Rank-0-only observability + checkpointing: every process runs the
+    # identical SPMD step, but only the primary writes (concurrent
+    # orbax rmtree+save from N processes would corrupt state — the
+    # reference's vestigial gpu_rank==0 gating, Camera/Utils.py:15).
+    primary = is_primary()
+    writer = (
+        MetricWriter(cfg.paths.checkpoint_save_dir, use_wandb, cfg.train.print_every)
+        if primary
+        else None
     )
     batcher = FaceBatcher(
         cfg.paths.train_img_dir,
@@ -153,8 +168,14 @@ def run_train(cfg, use_wandb: bool = False) -> None:
     for i in range(start, cfg.train.total_iters):
         batch = shard_batch(mesh, next(batcher), axis=cfg.parallel.data_axis)
         state, metrics = step_fn(state, frozen, batch)
-        writer.write(i + 1, metrics)
-        if cfg.train.debug_every and (i + 1) % cfg.train.debug_every == 0:
+        if writer is not None:
+            writer.write(i + 1, metrics)
+        if (
+            primary
+            and jax.process_count() == 1  # grid needs every shard host-side
+            and cfg.train.debug_every
+            and (i + 1) % cfg.train.debug_every == 0
+        ):
             # The reference's 10-panel grid (solver.py:216-248).
             if debug_fwd is None:
                 debug_fwd = make_debug_forward(models, fan, cfg)
@@ -162,7 +183,7 @@ def run_train(cfg, use_wandb: bool = False) -> None:
             save_debug_grid(
                 images, heats, os.path.join(cfg.paths.debug_dir, f"Img_{i + 1}.svg")
             )
-        if (i + 1) % cfg.train.save_every == 0:
+        if primary and (i + 1) % cfg.train.save_every == 0:
             ckpts.save(i + 1, "nets", state.params)
             ckpts.save(i + 1, "nets_ema", state.ema_params)
             ckpts.save(i + 1, "optims", state.opt_states)

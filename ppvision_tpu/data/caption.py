@@ -251,16 +251,35 @@ class CaptionDataset:
 
 
 def caption_batches(
-    ds: CaptionDataset, batch_size: int, shuffle: bool = True, seed: int = 0
+    ds: CaptionDataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[dict]:
     """One epoch of stacked batches (drops the trailing partial batch
-    when shuffling, like the reference's training loader)."""
+    when shuffling, like the reference's training loader).
+
+    Multi-host: ``batch_size`` is the GLOBAL batch; every process walks
+    the SAME seed-deterministic global order and materializes only its
+    contiguous ``batch_size // process_count`` block of each batch (the
+    block layout ``parallel.mesh.shard_batch`` reassembles), so the set
+    of global batches is identical to the single-process run.
+    """
+    if batch_size % process_count != 0:
+        raise ValueError(
+            f"batch_size {batch_size} must divide process count {process_count}"
+        )
+    local = batch_size // process_count
     order = np.arange(len(ds))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     stop = len(ds) - (len(ds) % batch_size) if shuffle else len(ds)
     for lo in range(0, stop, batch_size):
         idx = order[lo : lo + batch_size]
+        if process_count > 1:
+            idx = idx[process_index * local : (process_index + 1) * local]
         items = [ds[int(i)] for i in idx]
         batch = dict(
             images=np.stack([it[0] for it in items]),

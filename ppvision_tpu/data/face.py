@@ -169,7 +169,24 @@ class FaceBatcher:
         seed: int = 0,
         prefetch: int = 2,
         use_native: bool | None = None,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
+        """``batch_size`` is the GLOBAL batch.  Under multi-host
+        training each process builds ``batch_size // process_count``
+        samples per step (its ``parallel.mesh.shard_batch`` shard) from
+        a process-decorrelated random stream — the TPU-native version
+        of independent per-rank DataLoader sampling."""
+        if process_index is None or process_count is None:
+            import jax as _jax
+
+            process_index = _jax.process_index()
+            process_count = _jax.process_count()
+        if batch_size % process_count != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide process count "
+                f"{process_count}"
+            )
         self.src = ImageFolderDataset(src_root)
         self.ref = ReferenceDataset(ref_root, seed=seed)
         if use_native is None:
@@ -178,10 +195,14 @@ class FaceBatcher:
             use_native = native.available()
         self._native = use_native
         self.img_size = img_size
-        self.batch_size = batch_size
+        self.batch_size = batch_size // process_count
         self.latent_dim = latent_dim
         self.crop_prob = crop_prob
-        self.rng = np.random.default_rng(seed)
+        # Single-process keeps the historical stream; multi-host
+        # decorrelates per process (spawn-key style seeding).
+        self.rng = np.random.default_rng(
+            seed if process_count == 1 else [seed, process_index]
+        )
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)

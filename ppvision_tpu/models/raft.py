@@ -284,6 +284,13 @@ class RAFT(nn.Module):
     corr_radius: int = 4
     hidden_dim: int = 128
     context_dim: int = 128
+    # Memory-efficient on-demand correlation (the reference's
+    # --alternate_corr / alt_cuda_corr path, RAFT/core/corr.py:63-91):
+    # skip the O((HW)^2) dense pyramid and compute each window with the
+    # ops.corr kernel (Pallas on TPU).  Numerically equivalent to the
+    # dense path (pooling fmap2 commutes with the dot; channel order
+    # re-laid to match) — tests/test_raft.py.
+    alternate_corr: bool = False
 
     @nn.compact
     def __call__(self, image1, image2, iters: int | None = None):
@@ -294,7 +301,11 @@ class RAFT(nn.Module):
         fnet = BasicEncoder(256, "instance", name="fnet")
         both = fnet(jnp.concatenate([image1, image2], axis=0))
         fmap1, fmap2 = jnp.split(both, 2, axis=0)
-        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+        pyramid = (
+            None
+            if self.alternate_corr
+            else build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+        )
 
         cnet = BasicEncoder(self.hidden_dim + self.context_dim, "batch", name="cnet")(
             image1
@@ -312,7 +323,21 @@ class RAFT(nn.Module):
         def body(mdl, carry, _):
             net, coords1 = carry
             coords1 = jax.lax.stop_gradient(coords1)
-            corr = lookup_corr_pyramid(pyramid, coords1, self.corr_radius)
+            if self.alternate_corr:
+                from ..ops.corr import alternate_corr_lookup
+
+                kk = 2 * self.corr_radius + 1
+                corr = alternate_corr_lookup(
+                    fmap1, fmap2, coords1, self.corr_levels, self.corr_radius
+                )
+                # ops.corr emits (dy, dx)-ordered K^2 blocks; the dense
+                # pyramid path (and converted update-block weights) use
+                # (dx, dy) — swap within each level.
+                bq, hq, wq = corr.shape[:3]
+                corr = corr.reshape(bq, hq, wq, self.corr_levels, kk, kk)
+                corr = jnp.swapaxes(corr, -1, -2).reshape(bq, hq, wq, -1)
+            else:
+                corr = lookup_corr_pyramid(pyramid, coords1, self.corr_radius)
             flow = coords1 - coords0
             net, mask, delta = update(net, inp, corr, flow)
             coords1 = coords1 + delta

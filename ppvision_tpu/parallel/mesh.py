@@ -25,8 +25,11 @@ __all__ = [
     "batch_sharding",
     "replicate",
     "shard_batch",
+    "replicate_pytree",
     "initialize_multihost",
     "is_primary",
+    "local_batch_size",
+    "process_slice",
 ]
 
 
@@ -108,17 +111,89 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate_pytree(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a host pytree over the whole mesh.
+
+    Single-process this is ``jax.device_put(tree, replicate(mesh))``;
+    multi-host it assembles global fully-replicated arrays from
+    (identical) per-process values — plain ``device_put`` cannot place
+    onto non-addressable devices.
+    """
+    rep = replicate(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, rep)
+
+    def place(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            rep, x, global_shape=x.shape
+        )
+
+    return jax.tree_util.tree_map(place, tree)
+
+
+def local_batch_size(global_batch: int) -> int:
+    """This process's slice of a global batch (multi-host data loading:
+    each host constructs 1/P of every batch)."""
+    p = jax.process_count()
+    if global_batch % p != 0:
+        raise ValueError(
+            f"global batch {global_batch} must divide process count {p}"
+        )
+    return global_batch // p
+
+
+def process_slice(n_items: int) -> slice:
+    """Contiguous [start, stop) block of a length-``n_items`` global
+    index range owned by this process.  Contiguous blocks (not strides)
+    so ``shard_batch``'s per-process shards reassemble into the global
+    batch in plain order (process 0's rows first — matching a 1-D mesh
+    built from ``jax.devices()``)."""
+    k = local_batch_size(n_items)
+    i = jax.process_index()
+    return slice(i * k, (i + 1) * k)
+
+
 def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
-    """Place a pytree of host arrays: leading-dim-sharded when the size
-    divides the mesh axis, replicated otherwise (labels, scalars)."""
+    """Place a pytree of host arrays onto the mesh.
+
+    Single-process: leading-dim-sharded when the size divides the mesh
+    axis, replicated otherwise (labels, scalars).
+
+    Multi-host (``jax.process_count() > 1``): each process passes its
+    LOCAL portion of the batch — the contiguous ``process_slice`` block
+    of the global batch, i.e. ``global_batch // P`` rows — and the
+    pieces are assembled into one global array via
+    ``jax.make_array_from_process_local_data`` (the global leading dim
+    is ``local * P``).  Leaves whose local leading dim does not divide
+    the process's addressable-device count are treated as REPLICATED
+    and must be identical on every process (scalars, schedules).
+    """
     n = mesh.shape[axis]
     bs = batch_sharding(mesh, axis)
     rep = replicate(mesh)
+    p = jax.process_count()
 
-    def place(x):
-        x = np.asarray(x) if not hasattr(x, "shape") else x
-        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0:
-            return jax.device_put(x, bs)
-        return jax.device_put(x, rep)
+    if p == 1:
+        def place(x):
+            x = np.asarray(x) if not hasattr(x, "shape") else x
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0:
+                return jax.device_put(x, bs)
+            return jax.device_put(x, rep)
 
-    return jax.tree_util.tree_map(place, batch)
+        return jax.tree_util.tree_map(place, batch)
+
+    n_local = max(n // p, 1)
+
+    def place_mh(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n_local == 0:
+            return jax.make_array_from_process_local_data(
+                bs, x, global_shape=(x.shape[0] * p,) + x.shape[1:]
+            )
+        # Replicated leaf: every process must supply identical data.
+        return jax.make_array_from_process_local_data(
+            rep, x, global_shape=x.shape
+        )
+
+    return jax.tree_util.tree_map(place_mh, batch)

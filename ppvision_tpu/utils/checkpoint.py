@@ -28,6 +28,22 @@ __all__ = ["save_pytree", "restore_pytree", "merge_loaded", "StepCheckpoints"]
 def _checkpointer():
     import orbax.checkpoint as ocp
 
+    if jax.process_count() > 1:
+        # Multi-host: checkpoint writes are rank-0-gated by the
+        # trainers (parallel.mesh.is_primary), and save_pytree hands
+        # orbax pure HOST data (device_get below) — so scope orbax's
+        # internal barriers to THIS process alone, otherwise a
+        # primary-only save deadlocks waiting for the other ranks
+        # (verified with a two-process experiment).
+        i = jax.process_index()
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=i,
+                active_processes={i},
+                barrier_sync_key_prefix=f"proc{i}",
+            ),
+        )
     return ocp.PyTreeCheckpointer()
 
 

@@ -6,7 +6,9 @@ setting (iters=20, test-mode; Face-DeId/core/utils.py:460-462) on
 256^2 frame pairs. Chained-dispatch timing (see bench.py).
 
 Prints one JSON line. Env: PPVISION_RAFT_BATCH (default 8),
-PPVISION_RAFT_ITERS (default 20), PPVISION_RAFT_SIZE (default 256).
+PPVISION_RAFT_ITERS (default 20), PPVISION_RAFT_SIZE (default 256),
+PPVISION_RAFT_ALTERNATE=1 (on-demand ops.corr lookup instead of the
+dense pyramid — the reference --alternate_corr mode).
 """
 
 import json
@@ -29,7 +31,8 @@ def main():
     iters = int(os.environ.get("PPVISION_RAFT_ITERS", "20"))
     size = int(os.environ.get("PPVISION_RAFT_SIZE", "256"))
 
-    model = RAFT(iters=iters)
+    alternate = os.environ.get("PPVISION_RAFT_ALTERNATE", "0") == "1"
+    model = RAFT(iters=iters, alternate_corr=alternate)
     k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
     im1 = jax.random.uniform(k1, (b, size, size, 3)) * 255.0
     im2 = jax.random.uniform(k2, (b, size, size, 3)) * 255.0
@@ -53,7 +56,8 @@ def main():
         ts.append((time.perf_counter() - t0) / K)
     dt = min(ts)
     print(json.dumps({
-        "metric": f"RAFT flow pairs/s/chip ({size}^2, {iters} iters)",
+        "metric": f"RAFT flow pairs/s/chip ({size}^2, {iters} iters"
+        + (", alternate_corr)" if alternate else ")"),
         "value": round(b / dt, 2), "unit": "pairs/s", "sec_per_iter": round(dt, 4),
     }))
 

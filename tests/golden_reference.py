@@ -111,6 +111,64 @@ def install_torchvision_stub():
     sys.modules["torchvision.transforms"] = transforms
 
 
+def install_ffmpeg_stub():
+    """core/utils.py imports ffmpeg-python at module level; only the
+    video writers call into it (never exercised by goldens)."""
+    if "ffmpeg" in sys.modules:
+        return
+    sys.modules["ffmpeg"] = types.ModuleType("ffmpeg")
+
+
+def _extend_torchvision_stub():
+    """core/utils.py needs ``torchvision.utils``; metrics/{fid,lpips}.py
+    need ``torchvision.models`` — import-time attributes only (the
+    goldens never construct the torchvision nets)."""
+    install_torchvision_stub()
+    tv = sys.modules["torchvision"]
+    if not hasattr(tv, "utils"):
+        vutils = types.ModuleType("torchvision.utils")
+        tv.utils = vutils
+        sys.modules["torchvision.utils"] = vutils
+    if not hasattr(tv, "models"):
+        models = types.ModuleType("torchvision.models")
+
+        def _unavailable(*a, **k):
+            raise RuntimeError("torchvision models are stubbed in tests")
+
+        models.alexnet = _unavailable
+        models.inception_v3 = _unavailable
+        models.resnet101 = _unavailable
+        tv.models = models
+        sys.modules["torchvision.models"] = models
+    if "torchvision.datasets" not in sys.modules:
+        datasets = types.ModuleType("torchvision.datasets")
+
+        class ImageFolder:  # constructed only by the (unused) loaders
+            def __init__(self, *a, **k):
+                raise RuntimeError("torchvision datasets are stubbed in tests")
+
+        datasets.ImageFolder = ImageFolder
+        tv.datasets = datasets
+        sys.modules["torchvision.datasets"] = datasets
+
+
+def import_face_deid_solver():
+    """Import the reference core.solver MODULE (for compute_d_loss /
+    compute_g_loss / moving_average — the live training math, not
+    re-typed copies).  Solver's import chain pulls data_loader, utils,
+    metrics and Camera, hence the stub pile."""
+    install_munch_stub()
+    install_skimage_stub()
+    install_poppy_stub()
+    install_ffmpeg_stub()
+    install_numpy_compat_shim()
+    _extend_torchvision_stub()
+    _fresh_camera_package("Face-DeId")
+    from core import solver as ref_solver  # noqa: PLC0415
+
+    return ref_solver
+
+
 def _fresh_camera_package(project: str):
     """Both reference projects ship a ``Camera`` package; purge any
     previously imported one and put ``project`` first on sys.path so the

@@ -124,3 +124,140 @@ def test_shard_batch_placement():
         jax.sharding.PartitionSpec(), jax.sharding.PartitionSpec(None)
     )
     np.testing.assert_array_equal(np.asarray(placed["x"]), batch["x"])
+
+
+_TRAINSTEP_WORKER = """
+import sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ppvision_tpu.parallel import mesh as pmesh
+
+coord, pid, ckpt_root = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+pmesh.initialize_multihost(coord, 2, pid)
+assert jax.process_count() == 2
+
+from ppvision_tpu.config import CameraConfig, FaceDeIdConfig, LossConfig, ModelConfig
+from ppvision_tpu.optics.camera import CameraSpec, init_camera_params, make_camera_constants
+from ppvision_tpu.train.gan import FrozenNets, init_gan, make_train_step
+from ppvision_tpu.utils.checkpoint import StepCheckpoints
+
+IMG = 32
+cfg = FaceDeIdConfig(
+    model=ModelConfig(img_size=IMG, fan_input_size=64, max_conv_dim=32,
+                      style_dim=8, compute_dtype="float32"),
+    camera=CameraConfig(n=IMG, zernike_terms=16),
+    loss=LossConfig(lambda_heatmap=0.0),
+)
+models, fan, state = init_gan(jax.random.key(0), cfg)  # same on both ranks
+spec = CameraSpec(n=IMG, zernike_terms=16)
+fan_params = fan.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)))["params"]
+frozen = FrozenNets(
+    camera_params=init_camera_params(jax.random.key(2), spec),
+    camera_consts=make_camera_constants(spec),
+    fan_params=fan_params,
+    fan_priv_params=fan_params,
+)
+step = make_train_step(models, fan, cfg)
+
+b = 4  # GLOBAL batch
+rng = np.random.default_rng(3)
+batch = dict(
+    x_src=rng.random((b, IMG, IMG, 3), np.float32),
+    y_src=np.zeros((b,), np.int32),
+    x_ref=rng.random((b, IMG, IMG, 3), np.float32),
+    x_ref2=rng.random((b, IMG, IMG, 3), np.float32),
+    y_ref=np.ones((b,), np.int32),
+    z_trg=rng.standard_normal((b, 16)).astype(np.float32),
+    z_trg2=rng.standard_normal((b, 16)).astype(np.float32),
+)
+
+# Single-process reference on THIS rank's one local device, full batch.
+ref_state, ref_metrics = step(state, frozen, batch)
+
+# Distributed: each rank materializes only its contiguous block; the
+# global batch is reassembled by shard_batch.
+mesh = pmesh.make_mesh()
+assert mesh.shape["data"] == 2
+sl = pmesh.process_slice(b)
+local = {k: (v[sl] if v.ndim >= 1 and v.shape[0] == b else v) for k, v in batch.items()}
+assert local["x_src"].shape[0] == pmesh.local_batch_size(b) == 2
+sharded = pmesh.shard_batch(mesh, local)
+state_g = pmesh.replicate_pytree(mesh, state)
+frozen_g = pmesh.replicate_pytree(mesh, frozen)
+with mesh:
+    new_state, metrics = step(state_g, frozen_g, sharded)
+    jax.block_until_ready(new_state.params["generator"])
+
+# Metric equality vs the single-process step (f32; reduction-order
+# noise only -> tight band, same as the 8-virtual-device test).
+for k in ref_metrics:
+    a, r = float(metrics[k]), float(ref_metrics[k])
+    assert abs(a - r) <= max(1e-3 * abs(r), 2e-4), (k, a, r)
+# Updated params match: Adam first-step bound (see test_train_gan).
+for net in ("generator", "mapping_network", "style_encoder", "discriminator"):
+    lr = 1e-6 if net == "mapping_network" else 1e-4
+    diff = np.concatenate([
+        np.abs(np.asarray(x) - np.asarray(y)).ravel()
+        for x, y in zip(jax.tree_util.tree_leaves(ref_state.params[net]),
+                        jax.tree_util.tree_leaves(new_state.params[net]))
+    ])
+    assert diff.max() < 10 * lr, (net, float(diff.max()))
+    assert diff.mean() < lr / 5, (net, float(diff.mean()))
+
+# Rank-0-gated checkpointing, exactly as cli/main.py::run_train.
+if pmesh.is_primary():
+    ckpts = StepCheckpoints(ckpt_root)
+    ckpts.save(1, "nets", new_state.params)
+print("PRIMARY", pmesh.is_primary(), "STEP_OK", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_gan_train_step(tmp_path):
+    """REAL multi-host training: two processes (1 CPU device each) run
+    ONE full GAN train step over a 2-device global mesh with
+    process-local batch construction, and the result matches the
+    single-process step on the same global batch; exactly one process
+    writes the checkpoint (VERDICT r3 item 1)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    ckpt_root = str(tmp_path / "ckpts")
+    worker = tmp_path / "worker.py"
+    worker.write_text(_TRAINSTEP_WORKER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""  # 1 CPU device per process
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + [
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p
+        ]
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, str(pid), ckpt_root],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    assert "PRIMARY True STEP_OK" in outs[0], outs[0]
+    assert "PRIMARY False STEP_OK" in outs[1], outs[1]
+    # Exactly one checkpoint, written by the primary alone.
+    assert sorted(os.listdir(ckpt_root)) == ["000001_nets"], os.listdir(ckpt_root)

@@ -96,3 +96,23 @@ def test_raft_forward_and_loss():
 
     loss = raft_mod.raft_flow_loss(model, params, img1, img2, iters=2)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow  # two tiny-RAFT compiles
+def test_raft_alternate_corr_matches_dense():
+    """RAFT(alternate_corr=True) — the reference's --alternate_corr /
+    alt_cuda_corr path (RAFT/core/corr.py:63-91) — must equal the dense
+    corr-pyramid path at the SAME params: pooling fmap2 commutes with
+    the correlation dot, and the K^2 channel order is re-laid to the
+    dense layout so converted update-block weights are interchangeable."""
+    model = raft_mod.RAFT(iters=3, corr_levels=3, corr_radius=3)
+    alt = raft_mod.RAFT(iters=3, corr_levels=3, corr_radius=3, alternate_corr=True)
+    k1, k2, k3 = jax.random.split(jax.random.key(7), 3)
+    im1 = jax.random.uniform(k1, (2, 64, 64, 3)) * 255.0
+    im2 = jax.random.uniform(k2, (2, 64, 64, 3)) * 255.0
+    params = model.init(k3, im1, im2, iters=1)["params"]
+    dense = np.asarray(model.apply({"params": params}, im1, im2))
+    ondemand = np.asarray(alt.apply({"params": params}, im1, im2))
+    assert dense.shape == ondemand.shape
+    scale = np.abs(dense).max() + 1e-6
+    np.testing.assert_allclose(ondemand, dense, atol=2e-4 * scale, rtol=1e-4)
