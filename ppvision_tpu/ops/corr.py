@@ -63,7 +63,10 @@ def local_corr_xla(
         yi = jnp.clip(yy, 0, h2 - 1).astype(jnp.int32)
         bidx = jnp.arange(b).reshape(b, 1, 1, 1)
         vals = fmap2[bidx, yi, xi]  # (B, H, W, K^2, C)
-        dots = jnp.einsum("bhwkc,bhwc->bhwk", vals, fmap1)
+        dots = jnp.einsum(
+            "bhwkc,bhwc->bhwk", vals, fmap1,
+            precision=jax.lax.Precision.HIGHEST,  # f32 like the CUDA ref
+        )
         return dots * valid
 
     out = (
@@ -118,11 +121,16 @@ def _corr_kernel(f1_ref, f2p_ref, coords_ref, out_ref, *, radius: int, h2: int, 
 
         window = f2p_ref[0, pl.ds(sy, k + 1), pl.ds(sx8, lw), :]  # (K+1, lw, C)
         f1j = f1_ref[0, 0, j, :]
+        # HIGHEST: f32 multi-pass on the MXU — the reference kernel is
+        # plain f32 CUDA (correlation_kernel.cu:19-119); default
+        # precision would round the operands to bf16 (~3e-3 rel err,
+        # measured on-chip).
         scores_full = jax.lax.dot_general(
             window.reshape((k + 1) * lw, c),
             f1j[:, None],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).reshape(k + 1, lw)
         cols = jax.lax.broadcasted_iota(jnp.int32, (lw, k + 1), 0)
         tgt = off + jax.lax.broadcasted_iota(jnp.int32, (lw, k + 1), 1)
@@ -131,6 +139,7 @@ def _corr_kernel(f1_ref, f2p_ref, coords_ref, out_ref, *, radius: int, h2: int, 
             scores_full, sel,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (K+1, K+1)
         corr = (
             (1 - fy) * (1 - fx) * scores[:k, :k]
