@@ -29,7 +29,26 @@ def fft_conv2d_circular(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     ``Face-DeId/Camera/Utils.py:7-12``).  ``kernel`` is (H, W, C) or
     broadcastable to img's (B, H, W, C); the kernel is expected already
     rolled so its center sits at the (0, 0) corner.
+
+    On TPU, ``PPVISION_FUSED_FFTCONV=1`` routes VMEM-fitting shapes
+    through the fused Pallas kernel (:mod:`ppvision_tpu.ops.fftconv`):
+    one HBM read + one write per image instead of ~14 array-passes
+    through the unfused DFT chain.  Opt-in: the kernel's ~4 min Mosaic
+    compile outweighs the camera's ~1 ms unfused cost in every shipped
+    pipeline (PERF.md round-3c).  (Under a multi-chip mesh the Pallas
+    call is not auto-partitioned; the single-chip decode/serve/bench
+    paths are where it applies.)
     """
+    import jax
+
+    from ..ops.fftconv import fft_conv2d_circular_fused, fused_fftconv_eligible
+
+    if (
+        img.ndim == 4
+        and jax.default_backend() == "tpu"
+        and fused_fftconv_eligible(img.shape, kernel.ndim)
+    ):
+        return fft_conv2d_circular_fused(img, kernel)
     ir, ii = fft2_real(img, axes=(-3, -2))
     kr, ki = fft2_real(kernel, axes=(-3, -2))
     return ifft2_real_out(*cmul(ir, ii, kr, ki), axes=(-3, -2))
