@@ -157,6 +157,10 @@ class CaptionConfig:
     w_caption: float = 0.4
     w_ssim: float = 6.0
     w_psf: float = 30.0
+    # Camera fidelity term flavor (reference train.py:60, 171-175):
+    # "SSIM" -> 1 - SSIM(orig, sensor); "MSE" -> 1 - MSE(orig, sensor)
+    # (the reference ships camera_loss='MSE' at top of train.py).
+    camera_loss: str = "SSIM"
     zernike_clamp: float = 1.0  # +/- clamp around the defocus init
     mask_mode: str = "3"  # reference prueba_psf
     bleu4_gate: float = 0.20  # checkpoint save gate

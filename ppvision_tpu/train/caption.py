@@ -171,9 +171,15 @@ def make_caption_train_step(
         )
         ce, dsr, acc5 = caption_loss(out, batch["captions"], cfg.alpha_c)
         ssim_val = ssim(batch["images"], res.sensor)
+        # Camera fidelity flavor (train.py:171-175; 284): the shipped
+        # reference default is camera_loss='MSE'.
+        if cfg.camera_loss == "MSE":
+            cam_term = 1.0 - jnp.mean((batch["images"] - res.sensor) ** 2)
+        else:
+            cam_term = 1.0 - ssim_val
         loss = (
             cfg.w_caption * (ce + cfg.alpha_c * dsr)
-            + cfg.w_ssim * (1.0 - ssim_val)
+            + cfg.w_ssim * cam_term
             + cfg.w_psf * res.psf_loss
         )
         metrics = dict(

@@ -356,6 +356,36 @@ def caption_encoder_variables_from_torch(sd, stage_sizes=(3, 4, 23, 3)) -> Tree:
     }
 
 
+def decoder_params_from_torch(sd: Mapping[str, np.ndarray]) -> Tree:
+    """Reference ``DecoderWithAttention`` state_dict
+    (Image_Caption/models.py:93-133) -> models.captioner
+    AttentionLSTMDecoder params.
+
+    torch ``nn.LSTMCell`` carries two bias vectors (bias_ih + bias_hh,
+    simply summed in the cell); they map onto the lstm_x / lstm_h Dense
+    biases, whose outputs our cell also sums.  Gate order (i, f, g, o)
+    is identical on both sides.
+    """
+    return {
+        "att_enc": _linear(sd, "attention.encoder_att"),
+        "att_dec": _linear(sd, "attention.decoder_att"),
+        "att_full": _linear(sd, "attention.full_att"),
+        "embedding": {"embedding": sd["embedding.weight"].astype(np.float32)},
+        "init_h": _linear(sd, "init_h"),
+        "init_c": _linear(sd, "init_c"),
+        "f_beta": _linear(sd, "f_beta"),
+        "fc": _linear(sd, "fc"),
+        "lstm_x": {
+            "kernel": sd["decode_step.weight_ih"].T.astype(np.float32),
+            "bias": sd["decode_step.bias_ih"].astype(np.float32),
+        },
+        "lstm_h": {
+            "kernel": sd["decode_step.weight_hh"].T.astype(np.float32),
+            "bias": sd["decode_step.bias_hh"].astype(np.float32),
+        },
+    }
+
+
 # ---------------------------------------------------------------------------
 # AlexNet features + LPIPS calibration -> metrics.lpips.LPIPS.
 # ---------------------------------------------------------------------------

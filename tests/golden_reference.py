@@ -199,3 +199,35 @@ def import_caption_lens():
     from Camera.Lens import OpticsZernike  # noqa: PLC0415
 
     return OpticsZernike
+
+
+def import_caption_models(resnet101_factory):
+    """Import the reference Image_Caption models.py (Encoder /
+    DecoderWithAttention) plus its utils helpers, with
+    ``torchvision.models.resnet101`` stubbed by ``resnet101_factory``
+    (the Encoder constructs it at init, models.py:17 — the real
+    torchvision download is unavailable and the tests substitute a
+    torchvision-layout mini ResNet).
+
+    Returns (models_module, utils_module), both patched to CPU.
+    """
+    import torch
+
+    install_poppy_stub()
+    install_numpy_compat_shim()
+    _extend_torchvision_stub()
+    sys.modules["torchvision.models"].resnet101 = resnet101_factory
+    _fresh_camera_package("Image_Caption")
+    # Both reference projects (and this repo's own tests dir) could
+    # shadow the generic module names; force a fresh import from
+    # Image_Caption.
+    for mod in ("models", "utils", "pytorch_ssim"):
+        sys.modules.pop(mod, None)
+    import models as ref_cap_models  # noqa: PLC0415
+    import utils as ref_cap_utils  # noqa: PLC0415
+
+    # models.py / utils.py pin a module-level cuda device; run on CPU.
+    ref_cap_models.device = torch.device("cpu")
+    if hasattr(ref_cap_utils, "device"):
+        ref_cap_utils.device = torch.device("cpu")
+    return ref_cap_models, ref_cap_utils
