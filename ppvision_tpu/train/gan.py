@@ -212,8 +212,16 @@ def make_train_step(
         x_ref, x_ref2, y_trg = batch["x_ref"], batch["x_ref2"], batch["y_ref"]
         z_trg, z_trg2 = batch["z_trg"], batch["z_trg2"]
 
-        # Frozen camera + privacy heatmaps (solver.py:144-147).
-        x_real, _ = camera_apply(frozen.camera_params, frozen.camera_consts, x_src)
+        # Frozen camera + privacy heatmaps (solver.py:144-147).  A
+        # batch may carry precomputed private images instead ("x_priv"
+        # — the reference's paired Org/Priv lab-image datasets,
+        # data_loader.py:23-49); then the camera is skipped.
+        if "x_priv" in batch:
+            x_real = batch["x_priv"]
+        else:
+            x_real, _ = camera_apply(
+                frozen.camera_params, frozen.camera_consts, x_src
+            )
         x_real = jax.lax.stop_gradient(x_real)
         masks = get_heatmap(fan, frozen.fan_priv_params, x_real, privacy=True,
                             input_size=cfg.model.fan_input_size)

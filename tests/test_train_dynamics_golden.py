@@ -9,8 +9,27 @@ sub-step ordering (D/D/G+M+E/G), EMA timing, and the lambda_ds decay —
 by running 20 identical iterations of the reference Solver recipe
 (Face-DeId/core/solver.py:136-193) in torch and of
 ``train.gan.make_train_step`` in JAX from the SAME weights on the SAME
-fixed batches, then comparing every per-step loss metric and the final
-parameters.
+fixed batches.
+
+Comparison design.  An f32 free-running trajectory of this system is
+CHAOTIC, not merely noisy: at Adam step t=1, v_hat == g^2, so the
+update is exactly sign(g)*lr per coordinate; any coordinate whose true
+gradient sits at the f32 cross-framework noise floor (~1e-6 rel,
+different reduction orders) gets a 2*lr kick of arbitrary sign, and
+the adversarial D/G game amplifies those kicks — measured free-running
+divergence on the loss curves is 5% at step 0, 78% at step 1, 720% at
+step 2, regardless of implementation correctness.  So the test is
+TEACHER-FORCED: it re-syncs the params to the torch trajectory before
+every iteration and checks, at each of the 20 steps, (1) every loss
+metric at identical parameters and (2) the one-step parameter update
+of every net against the reference's post-step state-dict — i.e. the
+full dynamics operator at the exact states the reference visited, with
+only non-compounding single-step noise.  The final EMA params are
+compared after the 20 forced steps.
+
+Tolerances were set from a CPU probe run (PPVISION_DYNAMICS_PROBE=1
+prints the measured error distributions) with 3-10x margin; see the
+comments at the constants.
 
 Scope notes:
 - The RAFT flow term is omitted on BOTH sides (solver.py:163/178): it
@@ -44,6 +63,30 @@ from .golden_reference import (
 
 IMG, STYLE, LAT, MC, B, STEPS = 32, 8, 16, 32, 2, 20
 TERMS = 16
+
+# Tolerances from a CPU probe run (PPVISION_DYNAMICS_PROBE=1), with
+# 3-10x margin over the measured maxima across all 20 steps.  Metric
+# error grows with SUB-STEP depth inside one iteration (later sub-steps
+# run on params already updated this iteration, which carry the Adam
+# sign-flip noise of the earlier sub-steps): measured maxima were
+# D/latent 1.7e-4, D/ref 1.4e-3, G/latent 2.1e-3, G/ref 5.0e-2.
+FORCED_METRIC_TOL = {
+    "D/latent": 1e-3, "D/ref": 1e-2, "G/latent": 2e-2, "G/ref": 0.15,
+}
+# Param-update bounds, units of that net's lr.  The generator is
+# looser: it is updated twice per iteration, its second update flows
+# through the within-iteration divergence, and in this toy fixture a
+# sizable fraction of its coordinates sit at the f32 gradient noise
+# floor where early-Adam updates are pure sign(g)*lr kicks (measured
+# worst over 20 steps: mean 0.48lr and 17.5% of coords > lr at step 0,
+# p50 0.21lr at step 1, settling to p50 ~0.05-0.09lr by step 10).
+FORCED_BOUNDS = {
+    "mapping_network": dict(mean=0.05, flip=0.02, p50=0.02),
+    "style_encoder": dict(mean=0.05, flip=0.02, p50=0.02),
+    "discriminator": dict(mean=0.05, flip=0.02, p50=0.03),
+    "generator": dict(mean=1.0, flip=0.35, p50=0.5),
+}
+EMA_MAX_TOL = 3e-5  # measured max 3.0e-6
 
 
 def _he_init(module):
@@ -178,9 +221,16 @@ def _run_reference(batches):
          if k not in ("discriminator", "fan")}
     )
 
+    # ds_iter=8: the decrement 1/8 is exact in binary, so the reference's
+    # use-then-decrement loop (solver.py:192-193) reaches exactly 0.0 and
+    # its `if lambda_ds > 0` gate stops.  At ds_iter=10 the float residual
+    # after 10 decrements is +1.4e-16, one MORE decrement fires, and the
+    # torch side trains with lambda_ds = -0.1 forever after — an
+    # accumulation artifact of the toy scale, not reference semantics
+    # (at the real ds_iter=100000 the overshoot is a negligible ~-1e-5).
     args = _Munch(
         lambda_reg=1.0, lambda_sty=1.0, lambda_ds=1.0, lambda_cyc=7.0,
-        ds_iter=10, w_hpf=1.0, lpips=2000.0,
+        ds_iter=8, w_hpf=1.0, lpips=2000.0,
     )
     optims = {
         name: torch.optim.Adam(
@@ -205,7 +255,19 @@ def _run_reference(batches):
     )
 
     initial_lambda_ds = args.lambda_ds
+    # Precompute the private images ONCE per batch with the torch
+    # camera and hand the SAME arrays to the JAX side as batch["x_priv"]
+    # (the reference's paired Org/Priv dataset path,
+    # data_loader.py:23-49): the camera is frozen and separately
+    # golden-tested; its f32-chirp rounding (~1e-2, see
+    # test_camera_golden's tolerance budget) would otherwise swamp the
+    # DYNAMICS comparison this test is for.
+    x_privs = []
+    with torch.no_grad():
+        for bt in batches:
+            x_privs.append(camera(_nchw(bt["x_src"])).detach())
     history = []
+    sds_steps = []  # all 4 nets' state-dicts after EVERY iteration
     for it in range(STEPS):
         bt = batches[it % len(batches)]
         x_real_org = _nchw(bt["x_src"])
@@ -216,7 +278,7 @@ def _run_reference(batches):
         z_trg = torch.tensor(bt["z_trg"])
         z_trg2 = torch.tensor(bt["z_trg2"])
 
-        x_real = camera(x_real_org).detach()
+        x_real = x_privs[it % len(batches)]
         masks = fan_priv.get_heatmap(x_real, Privacy=True)
 
         m = {}
@@ -266,40 +328,57 @@ def _run_reference(batches):
         if args.lambda_ds > 0:
             args.lambda_ds -= initial_lambda_ds / args.ds_iter
         history.append(m)
+        sds_steps.append(
+            {k: _sd(v) for k, v in nets.items() if k != "fan"}
+        )
 
     sds_final = dict(
         nets={k: _sd(v) for k, v in nets.items()},
         nets_ema={k: _sd(v) for k, v in nets_ema.items()},
     )
-    return history, sds_init, sds_final
+    x_privs_np = [np.transpose(x.numpy(), (0, 2, 3, 1)).copy() for x in x_privs]
+    return history, sds_init, sds_steps, sds_final, x_privs_np
+
+
+def _asj(tree):
+    return jax.tree_util.tree_map(jnp.asarray, tree)
+
+
+def _convert_nets(sd_nets):
+    """torch state-dicts (all 4 GAN nets) -> our param trees."""
+    from ppvision_tpu.utils import torch_import as ti
+
+    return {
+        "generator": ti.generator_params_from_torch(
+            sd_nets["generator"], IMG, MC, w_hpf=1.0),
+        "mapping_network": ti.mapping_params_from_torch(
+            sd_nets["mapping_network"], 2),
+        "style_encoder": ti.style_encoder_params_from_torch(
+            sd_nets["style_encoder"], IMG, 2, MC),
+        "discriminator": ti.discriminator_params_from_torch(
+            sd_nets["discriminator"], IMG, 2, MC),
+    }
 
 
 def _import_initial_state(sds):
     from ppvision_tpu.utils import torch_import as ti
 
-    asj = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
-    params = {
-        "generator": asj(ti.generator_params_from_torch(
-            sds["nets"]["generator"], IMG, MC, w_hpf=1.0)),
-        "mapping_network": asj(ti.mapping_params_from_torch(
-            sds["nets"]["mapping_network"], 2)),
-        "style_encoder": asj(ti.style_encoder_params_from_torch(
-            sds["nets"]["style_encoder"], IMG, 2, MC)),
-        "discriminator": asj(ti.discriminator_params_from_torch(
-            sds["nets"]["discriminator"], IMG, 2, MC)),
-    }
-    fan_params = asj(ti.fan_params_from_torch(sds["fan"]))
-    fan_priv_params = asj(ti.fan_params_from_torch(sds["fan_priv"]))
-    camera_params = asj(ti.camera_params_from_torch(sds["camera"]))
-    lpips_params = asj(ti.lpips_params_from_torch(
+    params = _asj(_convert_nets(sds["nets"]))
+    fan_params = _asj(ti.fan_params_from_torch(sds["fan"]))
+    fan_priv_params = _asj(ti.fan_params_from_torch(sds["fan_priv"]))
+    camera_params = _asj(ti.camera_params_from_torch(sds["camera"]))
+    lpips_params = _asj(ti.lpips_params_from_torch(
         sds["alexnet"], sds["lpips_lin"]))
     return params, fan_params, fan_priv_params, camera_params, lpips_params
 
 
 @pytest.mark.slow  # ~20 torch solver iters + one jit compile (CPU)
 def test_gan_training_trajectory_matches_reference():
+    import os
+
+    probe = bool(os.environ.get("PPVISION_DYNAMICS_PROBE"))
     batches = _make_batches(3, B, LAT)
-    history, sds, sds_final = _run_reference(batches)
+    history, sds, sds_steps, sds_final, x_privs = _run_reference(batches)
 
     from ppvision_tpu.config import (
         CameraConfig, FaceDeIdConfig, LossConfig, ModelConfig, TrainConfig,
@@ -317,7 +396,7 @@ def test_gan_training_trajectory_matches_reference():
         camera=CameraConfig(n=IMG, zernike_terms=TERMS),
         loss=LossConfig(
             lambda_reg=1.0, lambda_sty=1.0, lambda_ds=1.0, lambda_cyc=7.0,
-            ds_iter=10, lambda_lpips=2000.0, lambda_heatmap=1000.0,
+            ds_iter=8, lambda_lpips=2000.0, lambda_heatmap=1000.0,
         ),
     )
     models, fan, state = init_gan(jax.random.key(0), cfg)
@@ -337,72 +416,78 @@ def test_gan_training_trajectory_matches_reference():
     lpips_fn, _ = build_lpips_fn(IMG, params=lpips_p)
     step = make_train_step(models, fan, cfg, lpips_fn=lpips_fn, flow_fn=None)
 
-    ours = []
+    jax_batches = [
+        dict(bt, x_priv=x_privs[i]) for i, bt in enumerate(batches)
+    ]
+
+    def _lr(net):
+        return 1e-6 if net == "mapping_network" else 1e-4
+
+    # Teacher-forced per-step equivalence, ALL steps.  (A free-running
+    # comparison is impossible in f32: measured worst loss rel-err is
+    # 0.05 at step 0, 0.78 at step 1, 7.2 at step 2 — chaos, not bugs;
+    # see the module docstring.)  Before each iteration the params are
+    # re-synced to the torch trajectory, so every one of the 20 steps
+    # checks the full dynamics operator — loss soup, Adam (bias
+    # correction, pre-moment weight decay), sub-step ordering, lambda_ds
+    # decay, EMA — at the exact state the reference visited, with only
+    # single-step f32 noise.
+    tstate = state
     for it in range(STEPS):
-        state, metrics = step(state, frozen, batches[it % len(batches)])
-        ours.append({k: float(v) for k, v in metrics.items()})
-
-    # --- Per-step loss curves ---------------------------------------
-    # f32 both sides; divergence grows with step as Adam amplifies
-    # reduction-order noise through sqrt(v)+eps at near-zero v.
-    violations = []
-    for it, (ref_m, our_m) in enumerate(zip(history, ours)):
-        tol = 2e-3 * (1.0 + it)
-        for k, want in ref_m.items():
-            assert k in our_m, f"metric {k} missing at step {it}"
-            got = our_m[k]
+        tstate, metrics = step(tstate, frozen, jax_batches[it % len(batches)])
+        # (1) every loss metric, computed at identical parameters
+        for k, want in history[it].items():
+            assert k in metrics, f"metric {k} missing at step {it}"
+            got = float(metrics[k])
             err = abs(got - want) / max(abs(want), 1e-3)
-            if err >= tol:
-                violations.append((it, k, round(got, 6), round(want, 6), round(err, 5)))
-    assert not violations, violations[:30]
+            tol = FORCED_METRIC_TOL[k.split("_")[0]]
+            if probe:
+                print(f"  step {it:2d} {k:24s} rel_err {err:.3e}")
+            else:
+                assert err < tol, (it, k, got, want, err)
+        # (2) the one-step parameter update of every net
+        ref_p = _asj(_convert_nets(sds_steps[it]))
+        for net, bound in FORCED_BOUNDS.items():
+            diff = np.concatenate([
+                np.abs(np.asarray(a) - np.asarray(b)).ravel()
+                for a, b in zip(jax.tree_util.tree_leaves(tstate.params[net]),
+                                jax.tree_util.tree_leaves(ref_p[net]))])
+            lr = _lr(net)
+            flipped = float((diff > lr).mean())
+            p50 = float(np.quantile(diff, 0.5))
+            if probe:
+                print(f"  step {it:2d} {net:16s} mean {diff.mean()/lr:.4f}lr "
+                      f"p50 {p50/lr:.4f}lr p99 {np.quantile(diff, 0.99)/lr:.4f}lr "
+                      f"max {diff.max()/lr:.2f}lr frac>lr {flipped:.5f}")
+            else:
+                assert diff.mean() < bound["mean"] * lr, (
+                    it, net, float(diff.mean() / lr))
+                assert flipped < bound["flip"], (it, net, flipped)
+                assert p50 < bound["p50"] * lr, (it, net, p50 / lr)
+        # re-sync: next iteration starts exactly on the torch trajectory
+        tstate = tstate.replace(params=ref_p)
 
-    # --- Final params + EMA vs the torch nets after 20 steps ---------
-    from ppvision_tpu.utils import torch_import as ti
-
-    def convert(sd_nets):
-        return {
-            "generator": ti.generator_params_from_torch(
-                sd_nets["generator"], IMG, MC, w_hpf=1.0),
-            "mapping_network": ti.mapping_params_from_torch(
-                sd_nets["mapping_network"], 2),
-            "style_encoder": ti.style_encoder_params_from_torch(
-                sd_nets["style_encoder"], IMG, 2, MC),
-            "discriminator": ti.discriminator_params_from_torch(
-                sd_nets["discriminator"], IMG, 2, MC),
-        }
-
-    ref_final = convert(sds_final["nets"])
-    ref_init = convert(sds["nets"])
-    for net in ref_final:
-        ours_l = jax.tree_util.tree_leaves(state.params[net])
-        ref_l = jax.tree_util.tree_leaves(
-            jax.tree_util.tree_map(jnp.asarray, ref_final[net]))
-        init_l = jax.tree_util.tree_leaves(
-            jax.tree_util.tree_map(jnp.asarray, ref_init[net]))
-        diff = np.concatenate(
-            [np.abs(np.asarray(a) - np.asarray(b)).ravel()
-             for a, b in zip(ours_l, ref_l)])
-        moved = np.concatenate(
-            [np.abs(np.asarray(b) - np.asarray(c)).ravel()
-             for b, c in zip(ref_l, init_l)])
-        # The implementation divergence must be a small fraction of the
-        # distance actually TRAVELLED by training over the 20 steps.
-        assert diff.mean() < 0.05 * max(moved.mean(), 1e-12), (
-            net, float(diff.mean()), float(moved.mean()))
-        lr = 1e-6 if net == "mapping_network" else 1e-4
-        assert diff.max() < 10 * lr, (net, float(diff.max()))
-
-    ref_ema = convert({**sds_final["nets"], **sds_final["nets_ema"]})
+    # --- EMA after 20 steps -------------------------------------------
+    # The EMA lerp runs on OUR post-step params each iteration (before
+    # the re-sync), so its error is the non-compounding (1-beta)-scaled
+    # accumulation of the per-step noise above.
+    ref_ema = _convert_nets({**sds_final["nets"], **sds_final["nets_ema"]})
     for net in ("generator", "mapping_network", "style_encoder"):
         diff = np.concatenate(
             [np.abs(np.asarray(a) - np.asarray(b)).ravel()
              for a, b in zip(
-                 jax.tree_util.tree_leaves(state.ema_params[net]),
-                 jax.tree_util.tree_leaves(jax.tree_util.tree_map(
-                     jnp.asarray, ref_ema[net])))])
-        lr = 1e-6 if net == "mapping_network" else 1e-4
-        assert diff.max() < 10 * lr, ("ema", net, float(diff.max()))
+                 jax.tree_util.tree_leaves(tstate.ema_params[net]),
+                 jax.tree_util.tree_leaves(_asj(ref_ema[net])))])
+        if probe:
+            print(f"  ema {net:16s} mean {diff.mean():.3e} max {diff.max():.3e}")
+        else:
+            assert diff.max() < EMA_MAX_TOL, (net, float(diff.max()))
 
 
 if __name__ == "__main__":
+    # The session sitecustomize pins JAX_PLATFORMS=axon (TPU tunnel);
+    # probe runs must use CPU like the pytest conftest does — on the
+    # TPU backend the default-precision MXU matmuls round operands to
+    # bf16 and the measured "divergence" is precision, not semantics.
+    jax.config.update("jax_platforms", "cpu")
     test_gan_training_trajectory_matches_reference()
