@@ -141,7 +141,13 @@ def run_train(args):
     # Multi-host: every process walks the same global batch order and
     # materializes only its block (data/caption.py caption_batches);
     # eval + checkpoint + logs are rank-0-only.
-    from ..parallel.mesh import is_primary, make_mesh, replicate_pytree, shard_batch
+    from ..parallel.mesh import (
+        is_primary,
+        local_batch_size,
+        make_mesh,
+        replicate_pytree,
+        shard_batch,
+    )
 
     mesh = make_mesh(axis_names=("data",))
     state = replicate_pytree(mesh, state)
@@ -157,7 +163,11 @@ def run_train(args):
             process_count=jax.process_count(),
         ):
             rng, sub = jax.random.split(rng)
-            state, metrics = step_fn(state, shard_batch(mesh, batch), sub)
+            state, metrics = step_fn(
+                state,
+                shard_batch(mesh, batch, local_batch=local_batch_size(cfg.batch_size)),
+                sub,
+            )
             step += 1
             if writer is not None:
                 writer.write(step, metrics)

@@ -91,6 +91,7 @@ def run_train(cfg, use_wandb: bool = False) -> None:
     from ..parallel.mesh import (
         initialize_multihost,
         is_primary,
+        local_batch_size,
         make_mesh,
         replicate_pytree,
         shard_batch,
@@ -166,7 +167,10 @@ def run_train(cfg, use_wandb: bool = False) -> None:
     debug_fwd = None
     print(f"Start training on {len(mesh.devices.flat)} device(s)...")
     for i in range(start, cfg.train.total_iters):
-        batch = shard_batch(mesh, next(batcher), axis=cfg.parallel.data_axis)
+        batch = shard_batch(
+            mesh, next(batcher), axis=cfg.parallel.data_axis,
+            local_batch=local_batch_size(cfg.train.batch_size),
+        )
         state, metrics = step_fn(state, frozen, batch)
         if writer is not None:
             writer.write(i + 1, metrics)

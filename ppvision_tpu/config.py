@@ -159,8 +159,8 @@ class CaptionConfig:
     w_psf: float = 30.0
     # Camera fidelity term flavor (reference train.py:60, 171-175):
     # "SSIM" -> 1 - SSIM(orig, sensor); "MSE" -> 1 - MSE(orig, sensor)
-    # (the reference ships camera_loss='MSE' at top of train.py).
-    camera_loss: str = "SSIM"
+    # Default "MSE" matches the shipped reference (train.py:59).
+    camera_loss: str = "MSE"
     zernike_clamp: float = 1.0  # +/- clamp around the defocus init
     mask_mode: str = "3"  # reference prueba_psf
     bleu4_gate: float = 0.20  # checkpoint save gate

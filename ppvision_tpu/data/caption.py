@@ -269,13 +269,18 @@ def caption_batches(
     """
     if batch_size % process_count != 0:
         raise ValueError(
-            f"batch_size {batch_size} must divide process count {process_count}"
+            f"process count {process_count} must divide batch_size {batch_size}"
         )
     local = batch_size // process_count
     order = np.arange(len(ds))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
-    stop = len(ds) - (len(ds) % batch_size) if shuffle else len(ds)
+    # The trailing partial batch survives only for single-process
+    # sequential walks (eval): under multi-host the per-process
+    # contiguous blocks of a short batch would be unequal or empty and
+    # make_array_from_process_local_data would fail or hang.
+    drop_last = shuffle or process_count > 1
+    stop = len(ds) - (len(ds) % batch_size) if drop_last else len(ds)
     for lo in range(0, stop, batch_size):
         idx = order[lo : lo + batch_size]
         if process_count > 1:

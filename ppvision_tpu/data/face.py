@@ -184,8 +184,8 @@ class FaceBatcher:
             process_count = _jax.process_count()
         if batch_size % process_count != 0:
             raise ValueError(
-                f"batch_size {batch_size} must divide process count "
-                f"{process_count}"
+                f"process count {process_count} must divide batch_size "
+                f"{batch_size}"
             )
         self.src = ImageFolderDataset(src_root)
         self.ref = ReferenceDataset(ref_root, seed=seed)

@@ -209,9 +209,21 @@ def collect_activations(
     full = None
     for b in batches:
         b = np.asarray(b)
-        k = b.shape[0]
-        full = full or k
-        if 0 < k < full:
-            b = np.concatenate([b, np.repeat(b[-1:], full - k, axis=0)])
-        outs.append(np.asarray(fn(jnp.asarray(b)))[:k])
+        if b.shape[0] == 0:
+            continue
+        if full is None:
+            full = b.shape[0]
+        # Every program runs at the first batch's size: short chunks pad
+        # up (replicating the final row, pad activations dropped) and
+        # batches LARGER than the first split into first-batch-sized
+        # chunks — either would otherwise re-jit the full Inception
+        # program for a one-off shape.
+        for i in range(0, b.shape[0], full):
+            chunk = b[i : i + full]
+            k = chunk.shape[0]
+            if k < full:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], full - k, axis=0)]
+                )
+            outs.append(np.asarray(fn(jnp.asarray(chunk)))[:k])
     return np.concatenate(outs, axis=0)

@@ -156,6 +156,11 @@ def fused_fftconv_eligible(img_shape, kernel_ndim: int) -> bool:
         return False
     if kernel_ndim != 3 or len(img_shape) != 4:
         return False
+    # The Pallas call is not auto-partitioned: degrade safely to the
+    # unfused chain on multi-device / multi-process topologies instead
+    # of relying on the caller having read the docstring.
+    if len(jax.devices()) != 1 or jax.process_count() != 1:
+        return False
     b, h, w, c = img_shape
     wc = w * c
     if h % 8 or wc % 128:

@@ -138,7 +138,7 @@ def local_batch_size(global_batch: int) -> int:
     p = jax.process_count()
     if global_batch % p != 0:
         raise ValueError(
-            f"global batch {global_batch} must divide process count {p}"
+            f"process count {p} must divide global batch {global_batch}"
         )
     return global_batch // p
 
@@ -154,7 +154,9 @@ def process_slice(n_items: int) -> slice:
     return slice(i * k, (i + 1) * k)
 
 
-def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
+def shard_batch(
+    mesh: Mesh, batch: Any, axis: str = "data", local_batch: int | None = None
+) -> Any:
     """Place a pytree of host arrays onto the mesh.
 
     Single-process: leading-dim-sharded when the size divides the mesh
@@ -165,19 +167,36 @@ def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
     of the global batch, i.e. ``global_batch // P`` rows — and the
     pieces are assembled into one global array via
     ``jax.make_array_from_process_local_data`` (the global leading dim
-    is ``local * P``).  Leaves whose local leading dim does not divide
-    the process's addressable-device count are treated as REPLICATED
-    and must be identical on every process (scalars, schedules).
+    is ``local * P``).  Leaves classified replicated are assembled as a
+    single global copy and must be identical on every process
+    (scalars, schedules).
+
+    ``local_batch`` makes the sharded/replicated classification EXACT:
+    a leaf is sharded iff its leading dim equals ``local_batch``.  Pass
+    it whenever the batch can contain replicated leaves whose leading
+    dim is a multiple of the per-process device count — shape inference
+    alone would mis-assemble such a leaf into a P-times-larger global
+    array under multi-host (it is layout-only, and harmless, under a
+    single process).
     """
     n = mesh.shape[axis]
     bs = batch_sharding(mesh, axis)
     rep = replicate(mesh)
     p = jax.process_count()
 
+    def is_sharded(x, divisor: int) -> bool:
+        if getattr(x, "ndim", 0) < 1:
+            return False
+        if local_batch is not None:
+            return x.shape[0] == local_batch
+        return x.shape[0] % divisor == 0
+
     if p == 1:
         def place(x):
             x = np.asarray(x) if not hasattr(x, "shape") else x
-            if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n == 0:
+            # A batch-classified leaf still needs to divide the mesh
+            # axis to be placeable; tiny debug batches replicate.
+            if is_sharded(x, n) and x.shape[0] % n == 0:
                 return jax.device_put(x, bs)
             return jax.device_put(x, rep)
 
@@ -187,7 +206,7 @@ def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
 
     def place_mh(x):
         x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n_local == 0:
+        if is_sharded(x, n_local):
             return jax.make_array_from_process_local_data(
                 bs, x, global_shape=(x.shape[0] * p,) + x.shape[1:]
             )

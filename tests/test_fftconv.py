@@ -73,6 +73,13 @@ def test_eligibility_gate(monkeypatch):
     # Off by default (the kernel's ~4 min Mosaic compile is opt-in).
     assert not fused_fftconv_eligible((8, 128, 128, 3), 3)
     monkeypatch.setenv("PPVISION_FUSED_FFTCONV", "1")
+    # The harness runs an 8-virtual-device CPU mesh; the Pallas call is
+    # not auto-partitioned, so multi-device topologies must degrade to
+    # the unfused chain even with the flag on.
+    assert len(jax.devices()) == 8
+    assert not fused_fftconv_eligible((8, 128, 128, 3), 3)
+    # Pin a single-device view for the shape-gate assertions below.
+    monkeypatch.setattr(jax, "devices", lambda *a: jax.local_devices()[:1])
     # Camera decode shape: eligible.
     assert fused_fftconv_eligible((8, 128, 128, 3), 3)
     # Batched kernels / wrong ranks: not.
@@ -99,6 +106,9 @@ def test_flag_routes_circular_conv(monkeypatch):
 
     monkeypatch.setattr(m, "fft_conv2d_circular_pallas", spy)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # Single-device view: the eligibility gate refuses multi-device
+    # topologies (the 8-virtual-device test mesh included).
+    monkeypatch.setattr(jax, "devices", lambda *a: jax.local_devices()[:1])
     img = jax.random.normal(jax.random.key(0), (2, 16, 16, 8), jnp.float32)
     ker = jax.random.normal(jax.random.key(1), (16, 16, 8), jnp.float32)
 
