@@ -1,10 +1,14 @@
 """Int8 post-training-quantized convolutions (opt-in serving mode).
 
-TPU v5e's MXU executes s8 x s8 -> s32 at ~2.4x the bf16 FLOP rate, so
-for the FLOP-bound de-id decoder (97% of the practical bf16 conv peak —
-PERF.md round-2e) reduced-precision arithmetic is the only lever left
-above the bf16 roofline.  This module implements the standard
-dynamic-quantization recipe:
+Premise and status: TPU v5e's datasheet rates s8 x s8 -> s32 at ~2.4x
+the bf16 FLOP rate, which for the FLOP-bound de-id decoder (97% of the
+practical bf16 conv peak — PERF.md round-2e) would be the only lever
+left above the bf16 roofline.  MEASURED on this chip/backend the rate
+does not materialize: s8 convs and dots lower natively but execute at
+the bf16 rate (1.01x on a pure GEMM — PERF.md round-4a), so this mode
+is PARKED as a no-win on current hardware; it ships opt-in, correct,
+and quality-gated for backends that do expose the s8 rate.  The
+recipe is the standard dynamic quantization:
 
 - **weights**: symmetric per-output-channel int8, derived at trace time
   from the f32 master parameters (the param tree is unchanged — this is

@@ -25,6 +25,7 @@ deployment-path component the TPU rewrite adds.  Design notes:
 
 from __future__ import annotations
 
+import time
 from typing import Iterable, Iterator
 
 import jax
@@ -88,6 +89,42 @@ class DeIdServer:
         self._fn = jax.jit(
             lambda p, xs, xr, yr: deid_multi_style(bundle, p, xs, xr, yr)
         )
+        # Serving observability (see ``stats``): cumulative per-request
+        # latencies and dispatch/queue gauges across serve() calls.
+        self._latencies: list[float] = []
+        self._batches_dispatched = 0
+        self._completed = 0
+        self._pending_gauge = 0
+        self._inflight_gauge = 0
+        self._max_queue_depth = 0
+
+    def stats(self) -> dict:
+        """Operational counters for the server.
+
+        Returns request count, dispatched-batch count, per-request
+        latency quantiles (submission -> result-on-host, seconds), and
+        queue-depth gauges: ``pending`` (requests waiting for a batch),
+        ``inflight_batches`` (dispatched, not yet drained), and
+        ``max_queue_depth`` (max pending + in-flight requests observed).
+        """
+        lat = np.asarray(self._latencies, np.float64)
+        q = lambda p: float(np.quantile(lat, p)) if lat.size else None  # noqa: E731
+        return dict(
+            completed=self._completed,
+            batches_dispatched=self._batches_dispatched,
+            latency_p50_s=q(0.50),
+            latency_p99_s=q(0.99),
+            latency_max_s=float(lat.max()) if lat.size else None,
+            pending=self._pending_gauge,
+            inflight_batches=self._inflight_gauge,
+            max_queue_depth=self._max_queue_depth,
+        )
+
+    def reset_stats(self) -> None:
+        self._latencies = []
+        self._batches_dispatched = 0
+        self._completed = 0
+        self._max_queue_depth = 0
 
     def warmup(self) -> None:
         """Compile the serving program ahead of the first request."""
@@ -118,11 +155,23 @@ class DeIdServer:
         producer cannot stall the deadline).
         """
         n = self._bundle.cfg.model.img_size
-        inflight: list[tuple[jax.Array, int]] = []  # (result, valid count)
+        # (result, valid count, arrival timestamps of the valid requests)
+        inflight: list[tuple[jax.Array, int, list[float]]] = []
+
+        def note_depth(n_pending: int) -> None:
+            self._pending_gauge = n_pending
+            self._inflight_gauge = len(inflight)
+            self._max_queue_depth = max(
+                self._max_queue_depth, n_pending + len(inflight) * self._batch
+            )
 
         def drain(entry):
-            fakes, valid = entry
+            fakes, valid, arrivals = entry
             host = np.asarray(fakes)  # (R, B, H, W, 3) — the only sync point
+            done = time.monotonic()
+            self._latencies.extend(done - t for t in arrivals)
+            self._completed += valid
+            self._inflight_gauge = len(inflight)
             for i in range(valid):
                 yield host[:, i]
 
@@ -132,7 +181,7 @@ class DeIdServer:
                 raise ValueError(f"expected ({n}, {n}, 3) image, got {img.shape}")
             return img
 
-        def flush(pending: list[np.ndarray]) -> None:
+        def dispatch(pending: list[np.ndarray], arrivals: list[float]) -> None:
             # Pad by REPLICATING the last valid image, not with zeros:
             # an all-zero frame is degenerate for the camera's per-image
             # max-normalize (0/0 -> NaN, reference Optics.py:128) and
@@ -140,22 +189,26 @@ class DeIdServer:
             # model.py:174 ``x - x.mean()``) couples samples, so one
             # NaN pad would poison every output in the batch.
             k = self._batch - len(pending)
-            batch = np.stack(pending + [pending[-1]] * k)
-            inflight.append((self._dispatch(batch), len(pending)))
+            batch = np.stack(pending + [pending[-1]] * k) if k else np.stack(pending)
+            inflight.append((self._dispatch(batch), len(pending), arrivals))
+            self._batches_dispatched += 1
+            note_depth(0)
 
         pending: list[np.ndarray] = []
+        arrivals: list[float] = []
         if max_wait_s is None:
             for img in images:
                 pending.append(check(img))
+                arrivals.append(time.monotonic())
+                note_depth(len(pending))
                 if len(pending) == self._batch:
-                    inflight.append((self._dispatch(np.stack(pending)), len(pending)))
-                    pending = []
+                    dispatch(pending, arrivals)
+                    pending, arrivals = [], []
                     if len(inflight) > self._depth:
                         yield from drain(inflight.pop(0))
         else:
             import queue
             import threading
-            import time
 
             q: queue.Queue = queue.Queue(maxsize=2 * self._batch)
             _END = object()
@@ -188,8 +241,8 @@ class DeIdServer:
                     # padded partial batch and drain EVERYTHING in
                     # flight — the waiting caller gets results now
                     # rather than when batch_size-1 friends arrive.
-                    flush(pending)
-                    pending, oldest = [], None
+                    dispatch(pending, arrivals)
+                    pending, arrivals, oldest = [], [], None
                     while inflight:
                         yield from drain(inflight.pop(0))
                     continue
@@ -199,14 +252,17 @@ class DeIdServer:
                     done = True
                     continue
                 pending.append(check(item))
+                arrivals.append(time.monotonic())
+                note_depth(len(pending))
                 if oldest is None:
                     oldest = time.monotonic()
                 if len(pending) == self._batch:
-                    inflight.append((self._dispatch(np.stack(pending)), len(pending)))
-                    pending, oldest = [], None
+                    dispatch(pending, arrivals)
+                    pending, arrivals, oldest = [], [], None
                     if len(inflight) > self._depth:
                         yield from drain(inflight.pop(0))
         if pending:
-            flush(pending)
+            dispatch(pending, arrivals)
         for entry in inflight:
             yield from drain(entry)
+        self._inflight_gauge = 0

@@ -261,3 +261,166 @@ def test_two_process_gan_train_step(tmp_path):
     assert "PRIMARY False STEP_OK" in outs[1], outs[1]
     # Exactly one checkpoint, written by the primary alone.
     assert sorted(os.listdir(ckpt_root)) == ["000001_nets"], os.listdir(ckpt_root)
+
+
+_CAPTION_WORKER = """
+import sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ppvision_tpu.parallel import mesh as pmesh
+
+coord, pid, ckpt_root = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+pmesh.initialize_multihost(coord, 2, pid)
+assert jax.process_count() == 2
+
+from ppvision_tpu.config import CaptionConfig
+from ppvision_tpu.data.caption import caption_batches
+from ppvision_tpu.optics.lens import (
+    LensSpec, init_lens_params, make_lens_constants,
+)
+from ppvision_tpu.train.caption import init_caption, make_caption_train_step
+from ppvision_tpu.utils.checkpoint import StepCheckpoints
+
+VOCAB, B, L, PATCH = 30, 4, 10, 32
+cfg = CaptionConfig(
+    emb_dim=16, attention_dim=16, decoder_dim=16, encoded_image_size=4,
+    batch_size=B, dropout=0.0, camera_lr=1e-2,
+)
+spec = LensSpec(wave_res=64, patch_size=PATCH, zernike_terms=16)
+consts = make_lens_constants(spec)
+encoder, decoder, state0 = init_caption(
+    jax.random.key(0), cfg, VOCAB, spec, init_lens_params(spec),
+    encoder_stages=(1, 1, 1, 1),
+)
+step = make_caption_train_step(encoder, decoder, cfg, spec, consts)
+
+
+class FakeDS:
+    # Duck-typed CaptionDataset: len + (img, caption, caplen) items.
+    split = "TRAIN"
+
+    def __init__(self):
+        rng = np.random.default_rng(5)
+        self.imgs = rng.random((2 * B, PATCH, PATCH, 3), np.float32)
+        self.caps = rng.integers(3, VOCAB, size=(2 * B, L)).astype(np.int32)
+        self.lens = (L - rng.integers(0, 4, size=2 * B)).astype(np.int32)
+
+    def __len__(self):
+        return len(self.caps)
+
+    def __getitem__(self, i):
+        return self.imgs[i], self.caps[i], self.lens[i]
+
+
+ds = FakeDS()
+
+# Single-process reference walk on THIS rank's one local device: the
+# full global batches (process_count=1 loader), per-step fixed rngs.
+ref_state, ref_hist = state0, []
+for it, batch in enumerate(caption_batches(ds, B, shuffle=True, seed=0)):
+    ref_state, m = step(ref_state, batch, jax.random.key(100 + it))
+    ref_hist.append({k: float(v) for k, v in m.items()})
+assert len(ref_hist) == 2
+
+# Distributed: the SAME epoch walk, each rank materializing only its
+# contiguous block (exactly cli/caption.py::run_train's wiring).
+mesh = pmesh.make_mesh(axis_names=("data",))
+assert mesh.shape["data"] == 2
+state = pmesh.replicate_pytree(mesh, state0)
+hist = []
+for it, local in enumerate(caption_batches(
+    ds, B, shuffle=True, seed=0,
+    process_index=jax.process_index(), process_count=jax.process_count(),
+)):
+    assert local["images"].shape[0] == pmesh.local_batch_size(B) == 2
+    sharded = pmesh.shard_batch(
+        mesh, local, local_batch=pmesh.local_batch_size(B)
+    )
+    with mesh:
+        state, m = step(state, sharded, jax.random.key(100 + it))
+    hist.append({k: float(v) for k, v in m.items()})
+
+# Metric equality vs the single-process steps (f32 reduction noise only).
+for it, (a, r) in enumerate(zip(hist, ref_hist)):
+    for k in r:
+        assert abs(a[k] - r[k]) <= max(1e-3 * abs(r[k]), 2e-4), (it, k, a[k], r[k])
+
+# Updated params match the single-process trajectory after 2 steps.
+for name, ours, ref in (
+    ("camera", state.camera, ref_state.camera),
+    ("encoder", state.encoder["params"], ref_state.encoder["params"]),
+    ("decoder", state.decoder, ref_state.decoder),
+):
+    diff = np.concatenate([
+        np.abs(np.asarray(x) - np.asarray(y)).ravel()
+        for x, y in zip(jax.tree_util.tree_leaves(ours),
+                        jax.tree_util.tree_leaves(ref))
+    ])
+    lr = dict(camera=1e-2, encoder=1e-4, decoder=5e-4)[name]
+    assert diff.max() < 10 * lr, (name, float(diff.max()))
+
+# Rank-0 eval path (cli/caption.py:176-185): pull host-local copies of
+# the replicated global arrays and run a PLAIN LOCAL program on them.
+if pmesh.is_primary():
+    eval_state = jax.device_get(state)
+    feats = jax.jit(
+        lambda v, x: encoder.apply(v, x, train=False)
+    )(eval_state.encoder, jnp.asarray(ds.imgs[:2]))
+    assert np.isfinite(np.asarray(feats)).all()
+    ckpts = StepCheckpoints(ckpt_root)
+    ckpts.save(1, "caption_state", eval_state.decoder)
+print("PRIMARY", pmesh.is_primary(), "CAPTION_STEP_OK", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_caption_train_step(tmp_path):
+    """REAL multi-host caption training (VERDICT r4 item 5): two
+    processes run a full 2-step epoch with block-sliced
+    ``caption_batches`` over a 2-device global mesh; metrics and params
+    match the single-process walk at the same global batches, the
+    rank-0 eval ``device_get`` path executes under process_count==2,
+    and exactly one process writes the checkpoint."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    ckpt_root = str(tmp_path / "ckpts")
+    worker = tmp_path / "worker.py"
+    worker.write_text(_CAPTION_WORKER)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = ""  # 1 CPU device per process
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + [
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p
+        ]
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), coord, str(pid), ckpt_root],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    assert "PRIMARY True CAPTION_STEP_OK" in outs[0], outs[0]
+    assert "PRIMARY False CAPTION_STEP_OK" in outs[1], outs[1]
+    # Exactly one checkpoint, written by the primary alone.
+    assert sorted(os.listdir(ckpt_root)) == ["000001_caption_state"], (
+        os.listdir(ckpt_root))

@@ -167,3 +167,43 @@ def test_flush_deadline_full_batches_unaffected(tiny):
     assert len(plain) == len(timed) == 5
     for a, b in zip(plain, timed):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_server_stats_latency_and_queue_depth(tiny):
+    """Serving observability (VERDICT r4 item 7): per-request latency
+    quantiles and queue-depth gauges must reflect the actual run."""
+    bundle, xr, yr = tiny
+    rng = np.random.default_rng(3)
+    imgs = [rng.random((64, 64, 3)).astype(np.float32) for _ in range(5)]
+    server = DeIdServer(bundle, xr, yr, batch_size=2, depth=1)
+    server.warmup()
+
+    s0 = server.stats()
+    assert s0["completed"] == 0 and s0["latency_p50_s"] is None
+
+    outs = list(server.serve(imgs))
+    assert len(outs) == 5
+    s = server.stats()
+    assert s["completed"] == 5
+    assert s["batches_dispatched"] == 3  # 2 + 2 + 1 (padded tail)
+    # Latencies: one per completed request, positive, ordered quantiles.
+    assert s["latency_p50_s"] > 0
+    assert s["latency_p99_s"] >= s["latency_p50_s"]
+    assert s["latency_max_s"] >= s["latency_p99_s"]
+    # All work drained: queues empty; depth peaked at >= one full batch.
+    assert s["pending"] == 0
+    assert s["inflight_batches"] == 0
+    assert s["max_queue_depth"] >= 2
+
+    server.reset_stats()
+    s2 = server.stats()
+    assert s2["completed"] == 0 and s2["batches_dispatched"] == 0
+    assert s2["latency_p50_s"] is None
+
+    # The deadline path records stats the same way.
+    _ = list(server.serve(imgs[:3], max_wait_s=30.0))
+    s3 = server.stats()
+    assert s3["completed"] == 3
+    assert s3["batches_dispatched"] == 2
+    assert s3["latency_p99_s"] >= s3["latency_p50_s"] > 0
