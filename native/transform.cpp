@@ -12,7 +12,17 @@
 // per-axis precomputed coefficient tables), so the native path is
 // numerically interchangeable with the PIL path.
 //
-// Build: g++ -O3 -shared -fPIC -std=c++17 -pthread transform.cpp -o libppv_transform.so
+// JPEG decode (libjpeg / libjpeg-turbo — the same decoder PIL links, so
+// pixel output is identical to ``PIL.Image.open(...).convert("RGB")``)
+// is compiled in when <jpeglib.h> is available (PPV_HAS_JPEG), making
+// the pool a complete bytes->float-batch pipeline: the PIL decode path
+// was the last single-threaded host bottleneck (~900 img/s on one core
+// vs a ~5,200 img/s chip — PERF.md "Host input pipeline").
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 -pthread -DPPV_HAS_JPEG \
+//            transform.cpp -ljpeg -o libppv_transform.so
+// (without libjpeg: drop -DPPV_HAS_JPEG/-ljpeg; decode entry points
+// then return an error and Python falls back to PIL decode.)
 
 #include <algorithm>
 #include <cmath>
@@ -20,6 +30,12 @@
 #include <cstring>
 #include <thread>
 #include <vector>
+
+#ifdef PPV_HAS_JPEG
+#include <csetjmp>
+#include <cstdio>
+#include <jpeglib.h>
+#endif
 
 namespace {
 
@@ -148,9 +164,151 @@ void transform_one(const uint8_t* src, int sh, int sw,
   }
 }
 
+#ifdef PPV_HAS_JPEG
+
+// libjpeg's default error handler calls exit(); longjmp back instead so
+// a corrupt image is a recoverable per-image error, not a process kill.
+struct JerrJmp {
+  jpeg_error_mgr pub;
+  std::jmp_buf jmp;
+};
+
+void jerr_exit(j_common_ptr cinfo) {
+  JerrJmp* j = reinterpret_cast<JerrJmp*>(cinfo->err);
+  std::longjmp(j->jmp, 1);
+}
+
+// Decode JPEG bytes to tightly-packed RGB u8.  Returns 0 on success.
+// out may be null to query dimensions only (*h, *w always written on
+// success).  out_cap guards against dimension races between the query
+// and decode calls.
+int decode_jpeg_rgb(const uint8_t* data, size_t len, uint8_t* out,
+                    size_t out_cap, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JerrJmp jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jerr_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, (unsigned long)len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;  // grayscale/YCbCr/CMYK all -> RGB
+  jpeg_start_decompress(&cinfo);
+  *h = (int)cinfo.output_height;
+  *w = (int)cinfo.output_width;
+  if (out == nullptr) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  size_t stride = (size_t)cinfo.output_width * 3;
+  if (out_cap < stride * cinfo.output_height) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + (size_t)cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+#endif  // PPV_HAS_JPEG
+
 }  // namespace
 
 extern "C" {
+
+#ifdef PPV_HAS_JPEG
+
+int ppv_has_jpeg(void) { return 1; }
+
+// Dimensions of a JPEG byte stream (header parse only).  Returns 0 ok.
+int ppv_jpeg_dims(const uint8_t* data, size_t len, int* h, int* w) {
+  return decode_jpeg_rgb(data, len, nullptr, 0, h, w);
+}
+
+// Full decode into caller buffer of capacity out_cap bytes.
+int ppv_decode_jpeg(const uint8_t* data, size_t len, uint8_t* out,
+                    size_t out_cap, int* h, int* w) {
+  return decode_jpeg_rgb(data, len, out, out_cap, h, w);
+}
+
+// Bytes -> float batch: decode + center/random-crop + PIL-bilinear
+// resize + flip + normalize, one thread-pool pass, no Python in the
+// loop.  crops use the SAME geometry contract as ppv_batch_transform
+// but relative to the DECODED image; cy/cx < 0 request a centered crop
+// of (ch, cw) clamped to the image (the eval-loader default).  Returns
+// the number of images that failed to decode (their dst slots are
+// zero-filled and ok[i] = 0).
+int ppv_batch_decode_transform(const uint8_t** datas, const size_t* lens,
+                               const int* cy, const int* cx, const int* ch,
+                               const int* cw, const int* flip, float* dst,
+                               int dh, int dw, int n, const float* mean,
+                               const float* stdv, int* ok, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> pool;
+  std::size_t per = (size_t)dh * dw * 3;
+  std::vector<int> fails(n_threads, 0);
+  auto work = [&](int t) {
+    std::vector<uint8_t> scratch;
+    for (int i = t; i < n; i += n_threads) {
+      int h = 0, w = 0;
+      if (decode_jpeg_rgb(datas[i], lens[i], nullptr, 0, &h, &w) != 0 ||
+          h <= 0 || w <= 0) {
+        std::memset(dst + (size_t)i * per, 0, per * sizeof(float));
+        ok[i] = 0;
+        ++fails[t];
+        continue;
+      }
+      scratch.resize((size_t)h * w * 3);
+      if (decode_jpeg_rgb(datas[i], lens[i], scratch.data(), scratch.size(),
+                          &h, &w) != 0) {
+        std::memset(dst + (size_t)i * per, 0, per * sizeof(float));
+        ok[i] = 0;
+        ++fails[t];
+        continue;
+      }
+      int cyy = cy[i], cxx = cx[i], chh = ch[i], cww = cw[i];
+      if (chh <= 0 || chh > h) chh = h;
+      if (cww <= 0 || cww > w) cww = w;
+      if (cyy < 0) cyy = (h - chh) / 2;
+      if (cxx < 0) cxx = (w - cww) / 2;
+      if (cyy + chh > h) cyy = h - chh;
+      if (cxx + cww > w) cxx = w - cww;
+      transform_one(scratch.data(), h, w, cyy, cxx, chh, cww,
+                    dst + (size_t)i * per, dh, dw, flip[i], mean, stdv);
+      ok[i] = 1;
+    }
+  };
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(work, t);
+  for (auto& th : pool) th.join();
+  int total = 0;
+  for (int f : fails) total += f;
+  return total;
+}
+
+#else  // !PPV_HAS_JPEG
+
+int ppv_has_jpeg(void) { return 0; }
+int ppv_jpeg_dims(const uint8_t*, size_t, int*, int*) { return -1; }
+int ppv_decode_jpeg(const uint8_t*, size_t, uint8_t*, size_t, int*, int*) {
+  return -1;
+}
+int ppv_batch_decode_transform(const uint8_t**, const size_t*, const int*,
+                               const int*, const int*, const int*, const int*,
+                               float*, int, int, int, const float*,
+                               const float*, int*, int) {
+  return -1;
+}
+
+#endif  // PPV_HAS_JPEG
 
 // Batched transform with a thread pool.
 // srcs: array of pointers to u8 HWC images; per-image geometry arrays.

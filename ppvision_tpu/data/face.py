@@ -70,11 +70,11 @@ def _resize(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
 
 
 def _sample_crop_box(
-    img: np.ndarray, rng: np.random.Generator, scale=(0.8, 1.0), ratio=(0.9, 1.1)
+    hw: tuple[int, int], rng: np.random.Generator, scale=(0.8, 1.0), ratio=(0.9, 1.1)
 ) -> tuple[int, int, int, int] | None:
-    """torchvision RandomResizedCrop box (y, x, h, w); None -> center
-    fallback (10-attempt semantics)."""
-    h, w = img.shape[:2]
+    """torchvision RandomResizedCrop box (y, x, h, w) for an (H, W)
+    image; center fallback (10-attempt semantics)."""
+    h, w = hw
     area = h * w
     for _ in range(10):
         target = area * rng.uniform(*scale)
@@ -94,7 +94,7 @@ def _random_resized_crop(
     scale=(0.8, 1.0), ratio=(0.9, 1.1),
 ) -> np.ndarray:
     """torchvision RandomResizedCrop semantics (10 attempts + fallback)."""
-    top, left, ch, cw = _sample_crop_box(img, rng, scale, ratio)
+    top, left, ch, cw = _sample_crop_box(img.shape[:2], rng, scale, ratio)
     return _resize(img[top : top + ch, left : left + cw], (out, out))
 
 
@@ -224,13 +224,47 @@ class FaceBatcher:
             )
         from . import native
 
+        # Fully-native path when every file is a JPEG and the library
+        # built with libjpeg: bytes -> (decode + crop/resize/flip)
+        # entirely inside the C++ pool.  The crop geometry needs only
+        # (H, W), which a header-only parse provides, so the random
+        # stream is drawn identically to the PIL path.
+        if native.has_jpeg() and all(
+            p.rsplit(".", 1)[-1].lower() in ("jpg", "jpeg") for p in paths
+        ):
+            datas, crops, flips, bad = [], [], [], []
+            for i, p in enumerate(paths):
+                with open(p, "rb") as f:
+                    data = f.read()
+                try:
+                    hw = native.jpeg_dims(data)
+                except ValueError:
+                    bad.append(i)
+                    hw = (1, 1)
+                crop = (0, 0, hw[0], hw[1])
+                if rng.random() < self.crop_prob:
+                    box = _sample_crop_box(hw, rng)
+                    if box is not None:
+                        crop = box
+                datas.append(data)
+                crops.append(crop)
+                flips.append(rng.random() < 0.5)
+            out, ok = native.batch_decode_transform(
+                datas, np.asarray(crops, np.int32), (s, s), np.asarray(flips)
+            )
+            for i in np.nonzero(~ok)[0].tolist() + bad:
+                # Corrupt stream: decode via PIL (raises loudly on a
+                # truly broken file — the reference loader's behavior).
+                out[i] = train_transform(_load_rgb(paths[i]), rng, s, 0.0)
+            return out
+
         imgs, crops, flips = [], [], []
         for p in paths:
             img = _load_rgb(p)
             h, w = img.shape[:2]
             crop = (0, 0, h, w)
             if rng.random() < self.crop_prob:
-                box = _sample_crop_box(img, rng)
+                box = _sample_crop_box((h, w), rng)
                 if box is not None:
                     crop = box
             imgs.append(img)

@@ -15,7 +15,15 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "batch_transform", "transform_one"]
+__all__ = [
+    "available",
+    "batch_transform",
+    "transform_one",
+    "has_jpeg",
+    "jpeg_dims",
+    "decode_jpeg",
+    "batch_decode_transform",
+]
 
 _lock = threading.Lock()
 _lib = None
@@ -52,12 +60,19 @@ def _load():
         )
         os.makedirs(os.path.dirname(so), exist_ok=True)
         if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread"]
             try:
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                     src, "-o", so],
-                    check=True, capture_output=True,
-                )
+                try:
+                    # With libjpeg when available (bytes->batch decode
+                    # pipeline); plain transform-only build otherwise.
+                    subprocess.run(
+                        base + ["-DPPV_HAS_JPEG", src, "-ljpeg", "-o", so],
+                        check=True, capture_output=True,
+                    )
+                except (OSError, subprocess.CalledProcessError):
+                    subprocess.run(
+                        base + [src, "-o", so], check=True, capture_output=True
+                    )
             except (OSError, subprocess.CalledProcessError) as e:
                 _warn_fallback(f"g++ build failed: {e}")
                 return None
@@ -81,6 +96,27 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.ppv_has_jpeg.restype = ctypes.c_int
+        lib.ppv_jpeg_dims.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.ppv_jpeg_dims.restype = ctypes.c_int
+        lib.ppv_decode_jpeg.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.ppv_decode_jpeg.restype = ctypes.c_int
+        lib.ppv_batch_decode_transform.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
+        lib.ppv_batch_decode_transform.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -105,6 +141,97 @@ def transform_one(
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), dh, dw, int(flip),
     )
     return dst
+
+
+def has_jpeg() -> bool:
+    """True when the library was built with libjpeg decode support."""
+    lib = _load()
+    return lib is not None and bool(lib.ppv_has_jpeg())
+
+
+def jpeg_dims(data: bytes) -> tuple[int, int]:
+    """(H, W) of a JPEG byte stream from a header-only parse."""
+    lib = _load()
+    assert lib is not None and lib.ppv_has_jpeg(), "native jpeg unavailable"
+    buf = np.frombuffer(data, np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.ppv_jpeg_dims(
+        buf.ctypes.data, buf.nbytes, ctypes.byref(h), ctypes.byref(w)
+    )
+    if rc != 0 or h.value <= 0 or w.value <= 0:
+        raise ValueError("corrupt JPEG stream")
+    return h.value, w.value
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode JPEG bytes to an (H, W, 3) uint8 RGB array.
+
+    Same decoder (libjpeg) PIL links, so output pixels are identical to
+    ``np.asarray(PIL.Image.open(io.BytesIO(data)).convert("RGB"))``.
+    Raises ValueError on corrupt data.
+    """
+    lib = _load()
+    assert lib is not None and lib.ppv_has_jpeg(), "native jpeg unavailable"
+    buf = np.frombuffer(data, np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.ppv_jpeg_dims(
+        buf.ctypes.data, buf.nbytes, ctypes.byref(h), ctypes.byref(w)
+    )
+    if rc != 0 or h.value <= 0 or w.value <= 0:
+        raise ValueError("corrupt JPEG stream")
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.ppv_decode_jpeg(
+        buf.ctypes.data, buf.nbytes, out.ctypes.data, out.nbytes,
+        ctypes.byref(h), ctypes.byref(w),
+    )
+    if rc != 0:
+        raise ValueError("corrupt JPEG stream")
+    return out
+
+
+def batch_decode_transform(
+    datas: list[bytes],
+    crops: np.ndarray,  # (N, 4) int32 (y, x, h, w); y/x -1 = centered
+    out_hw: tuple[int, int],
+    flips: np.ndarray,  # (N,) bool
+    mean: np.ndarray | None = None,
+    std: np.ndarray | None = None,
+    n_threads: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """JPEG bytes -> transformed float32 batch, fully inside the C++ pool.
+
+    Returns ``(batch, ok)``: corrupt images get a zero slot and
+    ``ok[i] == False`` (callers drop or resample them — the reference
+    loader's corrupt-image skip).
+    """
+    lib = _load()
+    assert lib is not None and lib.ppv_has_jpeg(), "native jpeg unavailable"
+    n = len(datas)
+    dh, dw = out_hw
+    bufs = [np.frombuffer(d, np.uint8) for d in datas]
+    ptrs = (ctypes.c_void_p * n)(*[b.ctypes.data for b in bufs])
+    lens = (ctypes.c_size_t * n)(*[b.nbytes for b in bufs])
+    crops = np.asarray(crops, np.int32)
+    cy = (ctypes.c_int * n)(*crops[:, 0].tolist())
+    cx = (ctypes.c_int * n)(*crops[:, 1].tolist())
+    ch = (ctypes.c_int * n)(*crops[:, 2].tolist())
+    cw = (ctypes.c_int * n)(*crops[:, 3].tolist())
+    fl = (ctypes.c_int * n)(*[int(f) for f in flips])
+    ok = (ctypes.c_int * n)()
+    dst = np.empty((n, dh, dw, 3), np.float32)
+    m = s = None
+    if mean is not None:
+        mean = np.ascontiguousarray(mean, np.float32)
+        std = np.ascontiguousarray(std, np.float32)
+        m, s = mean.ctypes.data, std.ctypes.data
+    lib.ppv_batch_decode_transform(
+        ptrs, lens, cy, cx, ch, cw, fl,
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), dh, dw, n, m, s,
+        ok, n_threads,
+    )
+    return dst, np.asarray(ok, np.bool_)
 
 
 def batch_transform(

@@ -23,8 +23,10 @@ from flax import linen as nn
 
 __all__ = ["AlexNetFeatures", "LPIPS", "calculate_lpips_given_images"]
 
-_MU = np.array([-0.03, -0.088, -0.188], np.float32)
-_SIGMA = np.array([0.458, 0.448, 0.450], np.float32)
+# Stored at double precision; canonicalized to f32 at trace time unless
+# jax_enable_x64 is on (then they match torch double constants exactly).
+_MU = np.array([-0.03, -0.088, -0.188], np.float64)
+_SIGMA = np.array([0.458, 0.448, 0.450], np.float64)
 ALEX_CHANNELS = (64, 192, 384, 256, 256)
 
 

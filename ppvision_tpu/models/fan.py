@@ -36,11 +36,17 @@ NUM_LANDMARKS = 98
 
 def _coord_channels(height: int, width: int, with_r: bool) -> np.ndarray:
     """(H, W, 2 or 3) static coord maps; 'x' varies along H as in the
-    reference (wing.py:86-99)."""
-    x = np.linspace(-1.0, 1.0, height, dtype=np.float32)[:, None] * np.ones(
-        (1, width), np.float32
-    )
-    y = np.ones((height, 1), np.float32) * np.linspace(-1.0, 1.0, width, dtype=np.float32)[None]
+    reference (wing.py:86-99).
+
+    Computed with the reference's exact f32 arithmetic
+    (``arange/(n-1)*2-1``, wing.py:86-89) — IEEE elementwise ops, so the
+    values are bit-identical to the torch constants; promoting them to
+    f64 then matches a ``.double()``-converted reference net exactly
+    (the f64 free-running dynamics golden relies on this)."""
+    x = (np.arange(height, dtype=np.float32) / np.float32(height - 1)) * np.float32(2) - np.float32(1)
+    y = (np.arange(width, dtype=np.float32) / np.float32(width - 1)) * np.float32(2) - np.float32(1)
+    x = x[:, None] * np.ones((1, width), np.float32)
+    y = np.ones((height, 1), np.float32) * y[None]
     chans = [x, y]
     if with_r:
         rr = np.sqrt(x**2 + y**2)
@@ -301,7 +307,7 @@ class FAN(nn.Module):
             out = jax.lax.conv_general_dilated(
                 h, kf.astype(dt), (1, 1), "VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.promote_types(h.dtype, jnp.float32),
             )
             return out + bf
         # Returned in the compute dtype: consumers reduce/resize with f32
@@ -431,7 +437,9 @@ def get_heatmap(
         )
     out = fan.apply({"params": params}, xr * 0.5 + 0.5)
     hm = out[..., : NUM_LANDMARKS]
-    hm = resize_bilinear(hm.astype(jnp.float32), (s, s), align_corners=True)
+    hm = resize_bilinear(
+        hm.astype(jnp.promote_types(hm.dtype, jnp.float32)), (s, s), align_corners=True
+    )
     if delimiter:
         hm = hm.at[..., :33].set(0.0)
     return preprocess_heatmaps(hm)

@@ -167,7 +167,7 @@ class InstanceNorm(nn.Module):
         # read after the mean).  Biased variance, same as torch IN;
         # activations are O(1) so the cancellation in m2 - m^2 is benign
         # (golden parity tests hold).
-        xf = x.astype(jnp.float32)
+        xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
         m2 = jnp.mean(xf * xf, axis=(-3, -2), keepdims=True)
         var = jnp.maximum(m2 - mean * mean, 0.0)
@@ -404,7 +404,7 @@ class Generator(nn.Module):
         y = jnp.einsum(
             "bhwc,cd->bhwd", x, kernel[0, 0].astype(x.dtype)
         ) + bias.astype(x.dtype)
-        return y.astype(jnp.float32)
+        return y.astype(jnp.promote_types(y.dtype, jnp.float32))
 
     def __call__(self, x, s, masks=None):
         """Anonymize ``x`` with style codes ``s``.
@@ -455,7 +455,8 @@ class MappingNetwork(nn.Module):
             for _ in range(3):
                 u = nn.relu(nn.Dense(512, kernel_init=he_init, dtype=self.dtype)(u))
             outs.append(nn.Dense(self.style_dim, kernel_init=he_init, dtype=self.dtype)(u))
-        return _select_domain(jnp.stack(outs, axis=1), y).astype(jnp.float32)
+        out = _select_domain(jnp.stack(outs, axis=1), y)
+        return out.astype(jnp.promote_types(out.dtype, jnp.float32))
 
 
 class _ConvTrunk(nn.Module):
@@ -497,7 +498,8 @@ class StyleEncoder(nn.Module):
             nn.Dense(self.style_dim, kernel_init=he_init, dtype=self.dtype)(h)
             for _ in range(self.num_domains)
         ]
-        return _select_domain(jnp.stack(outs, axis=1), y).astype(jnp.float32)
+        out = _select_domain(jnp.stack(outs, axis=1), y)
+        return out.astype(jnp.promote_types(out.dtype, jnp.float32))
 
 
 class Discriminator(nn.Module):
@@ -512,7 +514,8 @@ class Discriminator(nn.Module):
     def __call__(self, x, y):
         h = _ConvTrunk(self.img_size, self.max_conv_dim, dtype=self.dtype)(x)
         out = nn.Dense(self.num_domains, kernel_init=he_init, dtype=self.dtype)(h)
-        return _select_domain(out, y).astype(jnp.float32)
+        sel = _select_domain(out, y)
+        return sel.astype(jnp.promote_types(sel.dtype, jnp.float32))
 
 
 def build_gan_models(

@@ -33,13 +33,13 @@ def _bilinear_weights_np(in_size: int, out_size: int, align_corners: bool):
         src = np.clip((i + 0.5) * scale - 0.5, 0.0, None)
     lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
     hi = np.clip(lo + 1, 0, in_size - 1)
-    w = (src - lo).astype(np.float32)
+    w = src - lo  # float64; callers cast to their working precision
     return lo, hi, w
 
 
 def _bilinear_weights(in_size: int, out_size: int, align_corners: bool):
     lo, hi, w = _bilinear_weights_np(in_size, out_size, align_corners)
-    return jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(w)
+    return jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(w.astype(np.float32))
 
 
 import functools
@@ -47,22 +47,32 @@ import os
 
 
 @functools.lru_cache(maxsize=64)
-def _resize_matrix_np(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+def _resize_matrix_np(
+    in_size: int, out_size: int, align_corners: bool, f64: bool = False
+) -> np.ndarray:
     """Dense (out, in) bilinear interpolation matrix (2 nonzeros/row).
 
     Cached as NUMPY: a jnp constant created inside a jit trace is a
-    tracer, and caching one leaks it across traces.
+    tracer, and caching one leaks it across traces.  ``f64`` keeps the
+    weights at full double precision (torch computes them in double too
+    — needed by the f64 dynamics goldens); the default f32 weights are
+    bit-identical to the previous behavior.
     """
     lo, hi, w = _bilinear_weights_np(in_size, out_size, align_corners)
-    m = np.zeros((out_size, in_size), np.float32)
+    if not f64:
+        w = w.astype(np.float32)
+    m = np.zeros((out_size, in_size), np.float64 if f64 else np.float32)
     rows = np.arange(out_size)
     np.add.at(m, (rows, lo), 1.0 - w)
     np.add.at(m, (rows, hi), w)
     return m
 
 
-def _resize_matrix(in_size: int, out_size: int, align_corners: bool) -> jnp.ndarray:
-    return jnp.asarray(_resize_matrix_np(in_size, out_size, align_corners))
+def _resize_matrix(
+    in_size: int, out_size: int, align_corners: bool, dtype=None
+) -> jnp.ndarray:
+    f64 = dtype is not None and jnp.dtype(dtype) == jnp.dtype(np.float64)
+    return jnp.asarray(_resize_matrix_np(in_size, out_size, align_corners, f64))
 
 
 def resize_bilinear(
@@ -90,8 +100,8 @@ def resize_bilinear(
         x = x.take(lo, axis=-2) * (1 - wt) + x.take(hi, axis=-2) * wt
         return x
     dtype = x.dtype
-    mh = _resize_matrix(h, oh, align_corners)
-    mw = _resize_matrix(w, ow, align_corners)
+    mh = _resize_matrix(h, oh, align_corners, dtype)
+    mw = _resize_matrix(w, ow, align_corners, dtype)
     y = jnp.einsum("oh,...hwc->...owc", mh, x, precision="highest")
     y = jnp.einsum("pw,...owc->...opc", mw, y, precision="highest")
     return y.astype(dtype)
@@ -153,7 +163,7 @@ def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
     # Fixed-index slices (not ::2 strided indexing, which lowers to
     # gather) keep this a pure slice+add fusion.
     s = (
-        xr[:, :, 0, :, 0].astype(jnp.float32)
+        xr[:, :, 0, :, 0].astype(jnp.promote_types(x.dtype, jnp.float32))
         + xr[:, :, 1, :, 0]
         + xr[:, :, 0, :, 1]
         + xr[:, :, 1, :, 1]

@@ -126,7 +126,10 @@ def adv_loss(logits: jnp.ndarray, target: int) -> jnp.ndarray:
 def lambda_ds_schedule(cfg: FaceDeIdConfig, step: jnp.ndarray) -> jnp.ndarray:
     """Linear decay of the diversity weight to 0 over ds_iter
     (solver.py:127-134, 192-193)."""
-    frac = 1.0 - step.astype(jnp.float32) / float(cfg.loss.ds_iter)
+    # result_type(float): f64 under jax_enable_x64 (the f64 dynamics
+    # golden), f32 otherwise — matching the reference's python-float
+    # lambda_ds bookkeeping (solver.py:192-193) at either precision.
+    frac = 1.0 - step.astype(jnp.result_type(float)) / float(cfg.loss.ds_iter)
     return cfg.loss.lambda_ds * jnp.clip(frac, 0.0, 1.0)
 
 

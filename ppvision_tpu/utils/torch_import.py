@@ -30,9 +30,32 @@ __all__ = [
     "camera_params_from_torch",
     "lens_params_from_torch",
     "inception_variables_from_torch",
+    "preserve_float64",
 ]
 
 Tree = dict
+
+# Converters emit this dtype (f32 — checkpoints are f32 and the compute
+# pipeline is bf16/f32).  The f64 free-running dynamics goldens need the
+# conversion to PRESERVE double-precision torch state; they wrap the
+# import in ``preserve_float64()``.
+_FLOAT = np.float32
+
+
+class preserve_float64:
+    """Context manager: converters emit float64 instead of float32."""
+
+    def __enter__(self):
+        global _FLOAT
+        self._saved = _FLOAT
+        _FLOAT = np.float64
+        return self
+
+    def __exit__(self, *exc):
+        global _FLOAT
+        _FLOAT = self._saved
+        return False
+
 
 
 def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
@@ -52,32 +75,32 @@ def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
 
 
 def _conv(sd, name, bias=True) -> Tree:
-    p = {"kernel": np.transpose(sd[f"{name}.weight"], (2, 3, 1, 0)).astype(np.float32)}
+    p = {"kernel": np.transpose(sd[f"{name}.weight"], (2, 3, 1, 0)).astype(_FLOAT)}
     if bias and f"{name}.bias" in sd:
-        p["bias"] = sd[f"{name}.bias"].astype(np.float32)
+        p["bias"] = sd[f"{name}.bias"].astype(_FLOAT)
     return p
 
 
 def _linear(sd, name) -> Tree:
-    p = {"kernel": sd[f"{name}.weight"].T.astype(np.float32)}
+    p = {"kernel": sd[f"{name}.weight"].T.astype(_FLOAT)}
     if f"{name}.bias" in sd:
-        p["bias"] = sd[f"{name}.bias"].astype(np.float32)
+        p["bias"] = sd[f"{name}.bias"].astype(_FLOAT)
     return p
 
 
 def _bn(sd, name) -> Tree:
     return {
-        "scale": sd[f"{name}.weight"].astype(np.float32),
-        "bias": sd[f"{name}.bias"].astype(np.float32),
-        "mean": sd[f"{name}.running_mean"].astype(np.float32),
-        "var": sd[f"{name}.running_var"].astype(np.float32),
+        "scale": sd[f"{name}.weight"].astype(_FLOAT),
+        "bias": sd[f"{name}.bias"].astype(_FLOAT),
+        "mean": sd[f"{name}.running_mean"].astype(_FLOAT),
+        "var": sd[f"{name}.running_var"].astype(_FLOAT),
     }
 
 
 def _inorm(sd, name) -> Tree:
     return {
-        "scale": sd[f"{name}.weight"].astype(np.float32),
-        "bias": sd[f"{name}.bias"].astype(np.float32),
+        "scale": sd[f"{name}.weight"].astype(_FLOAT),
+        "bias": sd[f"{name}.bias"].astype(_FLOAT),
     }
 
 
@@ -251,8 +274,8 @@ def discriminator_params_from_torch(
     # Final 1x1 conv over a 1x1 spatial map == Dense.
     w = sd[f"main.{repeat + 4}.weight"]  # (D, C, 1, 1)
     out["Dense_0"] = {
-        "kernel": np.transpose(w[:, :, 0, 0], (1, 0)).astype(np.float32),
-        "bias": sd[f"main.{repeat + 4}.bias"].astype(np.float32),
+        "kernel": np.transpose(w[:, :, 0, 0], (1, 0)).astype(_FLOAT),
+        "bias": sd[f"main.{repeat + 4}.bias"].astype(_FLOAT),
     }
     return out
 
@@ -267,8 +290,8 @@ def camera_params_from_torch(sd: Mapping[str, np.ndarray]):
     from ..optics.camera import CameraParams
 
     return CameraParams(
-        zernike_train=np.asarray(sd["Zer_train"], np.float32).reshape(-1),
-        zernike_frozen=np.asarray(sd["Zer_no_train"], np.float32).reshape(-1),
+        zernike_train=np.asarray(sd["Zer_train"], _FLOAT).reshape(-1),
+        zernike_frozen=np.asarray(sd["Zer_no_train"], _FLOAT).reshape(-1),
     )
 
 
@@ -282,9 +305,9 @@ def lens_params_from_torch(sd: Mapping[str, np.ndarray]):
         return sd[k] if k in sd else sd[f"optics.{k}"]
 
     return LensParams(
-        defocus=np.float32(np.asarray(get("zernike_coeffs_train")).reshape(())),
-        frozen_pre=np.asarray(get("zernike_coeffs_no_train"), np.float32).reshape(-1),
-        frozen_post=np.asarray(get("zernike_coeffs_no_train2"), np.float32).reshape(-1),
+        defocus=_FLOAT(np.asarray(get("zernike_coeffs_train")).reshape(())),
+        frozen_pre=np.asarray(get("zernike_coeffs_no_train"), _FLOAT).reshape(-1),
+        frozen_post=np.asarray(get("zernike_coeffs_no_train2"), _FLOAT).reshape(-1),
     )
 
 
@@ -297,12 +320,12 @@ def _bn_flax(sd, name):
     """torchvision BatchNorm -> (flax nn.BatchNorm params, batch_stats)."""
     return (
         {
-            "scale": sd[f"{name}.weight"].astype(np.float32),
-            "bias": sd[f"{name}.bias"].astype(np.float32),
+            "scale": sd[f"{name}.weight"].astype(_FLOAT),
+            "bias": sd[f"{name}.bias"].astype(_FLOAT),
         },
         {
-            "mean": sd[f"{name}.running_mean"].astype(np.float32),
-            "var": sd[f"{name}.running_var"].astype(np.float32),
+            "mean": sd[f"{name}.running_mean"].astype(_FLOAT),
+            "var": sd[f"{name}.running_var"].astype(_FLOAT),
         },
     )
 
@@ -370,18 +393,18 @@ def decoder_params_from_torch(sd: Mapping[str, np.ndarray]) -> Tree:
         "att_enc": _linear(sd, "attention.encoder_att"),
         "att_dec": _linear(sd, "attention.decoder_att"),
         "att_full": _linear(sd, "attention.full_att"),
-        "embedding": {"embedding": sd["embedding.weight"].astype(np.float32)},
+        "embedding": {"embedding": sd["embedding.weight"].astype(_FLOAT)},
         "init_h": _linear(sd, "init_h"),
         "init_c": _linear(sd, "init_c"),
         "f_beta": _linear(sd, "f_beta"),
         "fc": _linear(sd, "fc"),
         "lstm_x": {
-            "kernel": sd["decode_step.weight_ih"].T.astype(np.float32),
-            "bias": sd["decode_step.bias_ih"].astype(np.float32),
+            "kernel": sd["decode_step.weight_ih"].T.astype(_FLOAT),
+            "bias": sd["decode_step.bias_ih"].astype(_FLOAT),
         },
         "lstm_h": {
-            "kernel": sd["decode_step.weight_hh"].T.astype(np.float32),
-            "bias": sd["decode_step.bias_hh"].astype(np.float32),
+            "kernel": sd["decode_step.weight_hh"].T.astype(_FLOAT),
+            "bias": sd["decode_step.bias_hh"].astype(_FLOAT),
         },
     }
 
@@ -406,7 +429,7 @@ def lpips_params_from_torch(
     out: Tree = {"alexnet": alex}
     for i in range(5):
         w = np.asarray(lpips_sd[f"lpips_weights.{i}.main.1.weight"])  # (1, C, 1, 1)
-        out[f"lin_{i}"] = w[0, :, 0, 0][:, None].astype(np.float32)  # (C, 1)
+        out[f"lin_{i}"] = w[0, :, 0, 0][:, None].astype(_FLOAT)  # (C, 1)
     return out
 
 
@@ -535,14 +558,14 @@ def _basic_conv(sd, name) -> tuple[Tree, Tree]:
     params = {
         "Conv_0": _conv(sd, f"{name}.conv", bias=False),
         "BatchNorm_0": {
-            "scale": sd[f"{name}.bn.weight"].astype(np.float32),
-            "bias": sd[f"{name}.bn.bias"].astype(np.float32),
+            "scale": sd[f"{name}.bn.weight"].astype(_FLOAT),
+            "bias": sd[f"{name}.bn.bias"].astype(_FLOAT),
         },
     }
     stats = {
         "BatchNorm_0": {
-            "mean": sd[f"{name}.bn.running_mean"].astype(np.float32),
-            "var": sd[f"{name}.bn.running_var"].astype(np.float32),
+            "mean": sd[f"{name}.bn.running_mean"].astype(_FLOAT),
+            "var": sd[f"{name}.bn.running_var"].astype(_FLOAT),
         }
     }
     return params, stats

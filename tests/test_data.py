@@ -218,3 +218,48 @@ def test_create_input_files_custom_lab_split(tmp_path):
         wm = json.load(f)
     # Word map counts EVERY caption in the JSON (incl. val/test/corrupt).
     assert "sits" in wm and "bad" in wm
+
+
+@pytest.fixture(scope="module")
+def face_root_jpg(tmp_path_factory):
+    """JPEG-flavored dataset: exercises the fully-native bytes->batch path."""
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    root = tmp_path_factory.mktemp("faces_jpg")
+    for split in ("src", "ref"):
+        for dom in ("female", "male"):
+            d = root / split / dom
+            d.mkdir(parents=True)
+            n = 5 if dom == "female" else 3
+            for i in range(n):
+                arr = rng.integers(0, 256, (45, 52, 3), np.uint8)
+                Image.fromarray(arr).save(str(d / f"{i}.jpg"), quality=92)
+    return root
+
+
+def test_face_batcher_native_jpeg_matches_pil(face_root_jpg):
+    """The fused native JPEG decode+transform path draws the same
+    randomness as the PIL path and produces identical batches (libjpeg
+    is the decoder on both sides)."""
+    from ppvision_tpu.data import native
+
+    if not (native.available() and native.has_jpeg()):
+        pytest.skip("native lib built without libjpeg")
+    kw = dict(img_size=32, batch_size=6, latent_dim=8, seed=3)
+    fb_pil = FaceBatcher(
+        str(face_root_jpg / "src"), str(face_root_jpg / "ref"),
+        use_native=False, **kw,
+    )
+    b_pil = next(fb_pil)
+    fb_pil.close()
+    fb_nat = FaceBatcher(
+        str(face_root_jpg / "src"), str(face_root_jpg / "ref"),
+        use_native=True, **kw,
+    )
+    b_nat = next(fb_nat)
+    fb_nat.close()
+    for k in ("x_src", "x_ref", "x_ref2"):
+        np.testing.assert_allclose(b_nat[k], b_pil[k], atol=1e-6)
+    np.testing.assert_array_equal(b_nat["y_ref"], b_pil["y_ref"])
+    np.testing.assert_allclose(b_nat["z_trg"], b_pil["z_trg"])

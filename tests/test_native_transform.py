@@ -57,3 +57,86 @@ def test_batch_transform_normalize():
     )
     want = (imgs[0].astype(np.float32) / 255.0 - mean) / std
     np.testing.assert_allclose(out[0], want, atol=1e-5)
+
+
+needs_jpeg = pytest.mark.skipif(
+    not (native.available() and native.has_jpeg()),
+    reason="native lib built without libjpeg",
+)
+
+
+def _jpeg_bytes(img, quality=90):
+    import io
+
+    from PIL import Image
+
+    b = io.BytesIO()
+    Image.fromarray(img).save(b, "JPEG", quality=quality)
+    return b.getvalue()
+
+
+@needs_jpeg
+def test_decode_jpeg_matches_pil_exactly():
+    """Same libjpeg decoder PIL links -> bit-identical pixels."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (93, 71, 3), np.uint8)
+    data = _jpeg_bytes(img, quality=85)
+    want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert native.jpeg_dims(data) == want.shape[:2]
+    got = native.decode_jpeg(data)
+    np.testing.assert_array_equal(got, want)
+
+
+@needs_jpeg
+def test_decode_jpeg_grayscale_converts_to_rgb():
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(4)
+    gray = rng.integers(0, 256, (40, 52), np.uint8)
+    b = io.BytesIO()
+    Image.fromarray(gray, "L").save(b, "JPEG", quality=92)
+    data = b.getvalue()
+    want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(native.decode_jpeg(data), want)
+
+
+@needs_jpeg
+def test_batch_decode_transform_matches_two_step():
+    """Fused bytes->batch == decode-then-batch_transform, plus corrupt
+    slots flagged and zero-filled."""
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (64 + 7 * i, 80, 3), np.uint8) for i in range(5)]
+    datas = [_jpeg_bytes(im) for im in imgs]
+    decoded = [native.decode_jpeg(d) for d in datas]
+    crops = np.asarray(
+        [[0, 0, 64, 80], [3, 5, 50, 60], [-1, -1, 48, 48], [0, 0, 0, 0], [10, 0, 40, 70]],
+        np.int32,
+    )
+    flips = np.asarray([0, 1, 0, 1, 0], bool)
+    out, ok = native.batch_decode_transform(datas, crops, (32, 32), flips, n_threads=3)
+    assert ok.all()
+    # mirror the centered / full-image defaults for the two-step path
+    eff = []
+    for i, c in enumerate(crops):
+        h, w = decoded[i].shape[:2]
+        cy, cx, ch, cw = c
+        ch = h if ch <= 0 or ch > h else ch
+        cw = w if cw <= 0 or cw > w else cw
+        cy = (h - ch) // 2 if cy < 0 else min(cy, h - ch)
+        cx = (w - cw) // 2 if cx < 0 else min(cx, w - cw)
+        eff.append([cy, cx, ch, cw])
+    want = native.batch_transform(decoded, np.asarray(eff, np.int32), (32, 32), flips)
+    np.testing.assert_array_equal(out, want)
+
+    out2, ok2 = native.batch_decode_transform(
+        [datas[0], b"\xff\xd8broken"], np.asarray([[-1, -1, 0, 0]] * 2, np.int32),
+        (16, 16), np.zeros(2, bool),
+    )
+    assert ok2[0] and not ok2[1]
+    assert np.abs(out2[1]).max() == 0.0

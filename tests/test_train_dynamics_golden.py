@@ -116,8 +116,10 @@ def _torch_alexnet_features():
 
 def _torch_lpips(feats, lin_w, x, y):
     """Reference LPIPS.forward (Face-DeId/metrics/lpips.py:61-72)."""
-    mu = torch.tensor([-0.03, -0.088, -0.188]).view(1, 3, 1, 1)
-    sigma = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+    # dtype follows the input: double in the f64 free-running golden
+    # (where the JAX side's constants are double too), f32 otherwise.
+    mu = torch.tensor([-0.03, -0.088, -0.188], dtype=x.dtype).view(1, 3, 1, 1)
+    sigma = torch.tensor([0.458, 0.448, 0.450], dtype=x.dtype).view(1, 3, 1, 1)
     x = (x - mu) / sigma
     y = (y - mu) / sigma
 
@@ -173,8 +175,16 @@ class _Munch(dict):
         self[k] = v
 
 
-def _run_reference(batches):
-    """solver.py:136-193, minus the RAFT flow lines (see module doc)."""
+def _run_reference(batches, dbl=False, steps=STEPS):
+    """solver.py:136-193, minus the RAFT flow lines (see module doc).
+
+    ``dbl=True`` runs the whole recipe in float64 (nets, FAN, LPIPS,
+    optimizer moments, batch tensors) for the free-running f64 golden —
+    the AddCoordsTh coord tensors are plain attributes that
+    ``Module.double()`` does not convert, so they are converted
+    explicitly (their VALUES stay the reference's f32 arithmetic,
+    promoted — exactly what ppvision_tpu's f32-computed coord constants
+    promote to)."""
     ref_model, ref_wing = import_face_deid_models()
     TorchCamera = import_face_deid_camera()
     ref_solver = import_face_deid_solver()
@@ -221,6 +231,18 @@ def _run_reference(batches):
          if k not in ("discriminator", "fan")}
     )
 
+    if dbl:
+        for mod in (*nets.values(), *nets_ema.values(), fan, fan_priv, feats):
+            mod.double()
+        lin_w = [w.double() for w in lin_w]
+        for mod in (fan, fan_priv):
+            for m in mod.modules():
+                if type(m).__name__ == "AddCoordsTh":
+                    m.coords = m.coords.double()
+                    m.x_coords = m.x_coords.double()
+                    m.y_coords = m.y_coords.double()
+    _cast = (lambda t: t.double()) if dbl else (lambda t: t)
+
     # ds_iter=8: the decrement 1/8 is exact in binary, so the reference's
     # use-then-decrement loop (solver.py:192-193) reaches exactly 0.0 and
     # its `if lambda_ds > 0` gate stops.  At ds_iter=10 the float residual
@@ -265,18 +287,21 @@ def _run_reference(batches):
     x_privs = []
     with torch.no_grad():
         for bt in batches:
-            x_privs.append(camera(_nchw(bt["x_src"])).detach())
+            # The camera itself stays f32 even in dbl mode (it is frozen
+            # and BYPASSED on the JAX side — both frameworks receive the
+            # identical precomputed array, so its precision cancels).
+            x_privs.append(_cast(camera(_nchw(bt["x_src"])).detach()))
     history = []
     sds_steps = []  # all 4 nets' state-dicts after EVERY iteration
-    for it in range(STEPS):
+    for it in range(steps):
         bt = batches[it % len(batches)]
-        x_real_org = _nchw(bt["x_src"])
+        x_real_org = _cast(_nchw(bt["x_src"]))
         y_org = torch.tensor(bt["y_src"], dtype=torch.long)
-        x_ref = _nchw(bt["x_ref"])
-        x_ref2 = _nchw(bt["x_ref2"])
+        x_ref = _cast(_nchw(bt["x_ref"]))
+        x_ref2 = _cast(_nchw(bt["x_ref2"]))
         y_trg = torch.tensor(bt["y_ref"], dtype=torch.long)
-        z_trg = torch.tensor(bt["z_trg"])
-        z_trg2 = torch.tensor(bt["z_trg2"])
+        z_trg = _cast(torch.tensor(bt["z_trg"]))
+        z_trg2 = _cast(torch.tensor(bt["z_trg2"]))
 
         x_real = x_privs[it % len(batches)]
         masks = fan_priv.get_heatmap(x_real, Privacy=True)
