@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..models.stargan import Conv
+
 __all__ = ["AlexNetFeatures", "LPIPS", "calculate_lpips_given_images"]
 
 # Stored at double precision; canonicalized to f32 at trace time unless
@@ -37,7 +39,7 @@ class AlexNetFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        conv = lambda c, k, s, p: nn.Conv(  # noqa: E731
+        conv = lambda c, k, s, p: Conv(  # noqa: E731
             c, (k, k), strides=(s, s), padding=[(p, p), (p, p)], dtype=self.dtype
         )
         fmaps = []

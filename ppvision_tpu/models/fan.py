@@ -30,6 +30,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.image import avg_pool_2x, resize_bilinear, upsample_nearest_2x
+from .stargan import Conv
 
 NUM_LANDMARKS = 98
 
@@ -118,12 +119,10 @@ class CoordConv(nn.Module):
         dt = self.dtype or x.dtype
         pad = [(self.kernel // 2, self.kernel // 2)] * 2
         strides = (self.stride, self.stride)
+        from ..ops.cpuconv import conv2d
 
         def conv(v, k):
-            return jax.lax.conv_general_dilated(
-                v.astype(dt), k.astype(dt), strides, pad,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            return conv2d(v.astype(dt), k.astype(dt), strides, pad)
 
         y = conv(x, kernel[:, :, :cx])
         # Static coord contribution: conv of a (1,H,W,ncoord) constant.
@@ -180,11 +179,10 @@ class DenseConvBlock(nn.Module):
         dt = self.dtype or x.dtype
         cin = x.shape[-1]
 
+        from ..ops.cpuconv import conv2d
+
         def conv3x3(h, k):
-            return jax.lax.conv_general_dilated(
-                h.astype(dt), k.astype(dt), (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            return conv2d(h.astype(dt), k.astype(dt), (1, 1), [(1, 1), (1, 1)])
 
         def bn_relu(h):
             return nn.relu(FrozenBatchNorm()(h))
@@ -205,7 +203,7 @@ class DenseConvBlock(nn.Module):
             out = jnp.concatenate([o1, o2, o3], axis=-1)
             res = x
             if self.in_features != self.features:
-                res = nn.Conv(
+                res = Conv(
                     self.features, (1, 1), use_bias=False, dtype=self.dtype,
                     name="Conv_3",
                 )(bn_relu(res))
@@ -219,7 +217,7 @@ class DenseConvBlock(nn.Module):
         if self.in_features != self.features:
             # 1x1 conv commutes exactly with the 2x2 mean pool (channel-
             # only vs spatial-only linear maps) — run it on the small side.
-            res = nn.Conv(
+            res = Conv(
                 self.features, (1, 1), use_bias=False, dtype=self.dtype,
                 name="Conv_3",
             )(avg_pool_2x(bn_relu(res).astype(dt)))
@@ -288,7 +286,7 @@ class FAN(nn.Module):
 
         h = HourGlass(dtype=self.dtype)(x, None)
         h = DenseConvBlock(256, 256, dtype=self.dtype)(h)
-        h = nn.Conv(256, (1, 1), dtype=self.dtype)(h)
+        h = Conv(256, (1, 1), dtype=self.dtype)(h)
         h = nn.relu(FrozenBatchNorm()(h))
         dt = self.dtype or h.dtype
         kern, bias = _ConvParams(
@@ -300,23 +298,23 @@ class FAN(nn.Module):
             # == 1x1 conv with group-summed kernel (summed in the f32
             # master params; f32 accumulate+output — FAN is value-only
             # everywhere, so the mixed-dtype conv never sees a grad).
+            from ..ops.cpuconv import conv2d as _c2d
+
             kf = jnp.stack(
                 [kern[..., :49].sum(-1), kern[..., 49:98].sum(-1)], axis=-1
             )
             bf = jnp.stack([bias[:49].sum(), bias[49:98].sum()])
-            out = jax.lax.conv_general_dilated(
+            out = _c2d(
                 h, kf.astype(dt), (1, 1), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.promote_types(h.dtype, jnp.float32),
             )
             return out + bf
         # Returned in the compute dtype: consumers reduce/resize with f32
         # accumulation, so an eager f32 cast here would only double the
         # head tensor's HBM bytes.
-        y = jax.lax.conv_general_dilated(
-            h, kern.astype(dt), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        from ..ops.cpuconv import conv2d as _c2d
+
+        y = _c2d(h, kern.astype(dt), (1, 1), "VALID")
         return y + bias.astype(dt)
 
 

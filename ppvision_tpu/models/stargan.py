@@ -106,7 +106,12 @@ class Conv(nn.Conv):
     shape is MXU-eligible (``ops/winograd.py``); otherwise defers to
     ``nn.Conv`` unchanged.  The class is deliberately named ``Conv`` so
     Flax auto-naming (``Conv_0``, ``Conv_1``, ...) and checkpoint /
-    torch-import param trees are identical to plain ``nn.Conv``."""
+    torch-import param trees are identical to plain ``nn.Conv``.
+
+    Float64 inputs dispatch to the tap-sum matmul form
+    (``ops/cpuconv.py``) — XLA-CPU's naive f64 conv loops are ~33x
+    slower than its f64 GEMMs, which made the f64 free-running dynamics
+    goldens intractable; same math up to tap-sum reassociation."""
 
     @nn.compact
     def __call__(self, x):
@@ -114,6 +119,24 @@ class Conv(nn.Conv):
 
         from ..ops import winograd
 
+        dt = self.dtype or x.dtype
+        if jnp.dtype(dt) == jnp.float64 and self.feature_group_count == 1:
+            from ..ops.cpuconv import conv2d
+
+            kernel = self.param(
+                "kernel", self.kernel_init,
+                tuple(self.kernel_size) + (x.shape[-1], self.features),
+                self.param_dtype,
+            )
+            y = conv2d(
+                x.astype(dt), kernel.astype(dt), self.strides, self.padding
+            )
+            if self.use_bias:
+                bias = self.param(
+                    "bias", self.bias_init, (self.features,), self.param_dtype
+                )
+                y = y + bias.astype(dt)
+            return y
         if (
             os.environ.get("PPVISION_WINOGRAD", "0") == "1"
             and self.kernel_size == (3, 3)
@@ -289,11 +312,9 @@ def highpass(x: jnp.ndarray, w_hpf: float) -> jnp.ndarray:
     )
     c = x.shape[-1]
     kernel = jnp.tile(k[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
-    return jax.lax.conv_general_dilated(
-        x, kernel, (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
+    from ..ops.cpuconv import conv2d
+
+    return conv2d(x, kernel, (1, 1), "SAME", feature_group_count=c)
 
 
 def _channel_dims(img_size: int, max_conv_dim: int, num_blocks: int) -> list[int]:

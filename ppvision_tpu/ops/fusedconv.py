@@ -40,6 +40,13 @@ def _conv(x, k, stride=1, padding="VALID"):
     )
 
 
+def _f64(x) -> bool:
+    # Float64 (the CPU verification goldens): run the UNFUSED order —
+    # it matches the torch reference's op order exactly AND avoids
+    # XLA-CPU's naive f64 conv loops via ops/cpuconv's matmul form.
+    return x.dtype == jnp.float64
+
+
 def conv3x3_nearest_up2x(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """``conv3x3(SAME)(nearest_upsample_2x(x))`` as one 4x4/s2
     transposed conv.
@@ -59,6 +66,11 @@ def conv3x3_nearest_up2x(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     than a hand-written 4-phase conv + depth-to-space interleave
     (scripts/micro_upconv.py).
     """
+    if _f64(x):
+        from .cpuconv import conv2d
+        from .image import upsample_nearest_2x
+
+        return conv2d(upsample_nearest_2x(x), kernel.astype(x.dtype), (1, 1), "SAME")
     k = kernel
     kr = jnp.stack([k[0], k[0] + k[1], k[1] + k[2], k[2]], 0)  # (4,3,I,O)
     k4 = jnp.stack(
@@ -78,6 +90,11 @@ def conv3x3_avgpool2x(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     K4[r, c] = 1/4 * sum_{pi, pj in {0,1}} K[r-pi, c-pj] (valid taps),
     window rows 2a-1 .. 2a+2 -> SAME-equivalent padding (1, 1).
     """
+    if _f64(x):
+        from .cpuconv import conv2d
+        from .image import avg_pool_2x
+
+        return avg_pool_2x(conv2d(x, kernel.astype(x.dtype), (1, 1), "SAME"))
     k = kernel
     zr = jnp.zeros_like(k[:1])
     kr = jnp.concatenate([k, zr], 0) + jnp.concatenate([zr, k], 0)  # (4,3,I,O)

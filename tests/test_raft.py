@@ -116,3 +116,84 @@ def test_raft_alternate_corr_matches_dense():
     assert dense.shape == ondemand.shape
     scale = np.abs(dense).max() + 1e-6
     np.testing.assert_allclose(ondemand, dense, atol=2e-4 * scale, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_raft_flow_loss_gradient_parity_with_reference():
+    """Gradient of the RAFT flow loss w.r.t. the INPUT FRAMES vs the
+    live torch reference.
+
+    This is the one gradient path the trajectory goldens exclude: the
+    solver's flow term (core/solver.py:162-184, weight lambda_flow)
+    backpropagates through the unrolled RAFT refinement into the
+    generator's fakes; its torch-vs-JAX parity was previously covered
+    only by FORWARD importer goldens.  Here both sides compute
+    loss = sum_b |mean(flow_b)| (loss_RAFT.__call__, core/utils.py:
+    460-462) at iters=2 on tiny frames and compare d loss / d frames
+    (frame2 is the generator-fake slot — the gradient that actually
+    trains G) and d loss / d frame1.
+    """
+    import argparse
+    import sys
+
+    import torch
+
+    from ppvision_tpu.utils import torch_import as ti
+
+    from .golden_reference import REFERENCE_ROOT, install_munch_stub
+
+    install_munch_stub()
+    path = f"{REFERENCE_ROOT}/Face-DeId"
+    if path not in sys.path:
+        sys.path.insert(0, path)
+    from RAFT.core.raft import RAFT as TorchRAFT  # noqa: PLC0415
+
+    args = argparse.Namespace(
+        small=False, mixed_precision=False, alternate_corr=False, dropout=0
+    )
+    torch.manual_seed(0)
+    tr = TorchRAFT(args).eval()
+    sd = {k: v.detach().numpy() for k, v in tr.state_dict().items()}
+    params = jax.tree_util.tree_map(jnp.asarray, ti.raft_params_from_torch(sd))
+
+    rng = np.random.default_rng(2)
+    B = 2
+    # 128^2: smaller inputs hit the torch grid_sample (W-1)=0 NaN at the
+    # bottom pyramid level (see test_raft_parity_with_reference).
+    f1 = rng.uniform(0, 255, (B, 128, 128, 3)).astype(np.float32)
+    f2 = rng.uniform(0, 255, (B, 128, 128, 3)).astype(np.float32)
+    ITERS = 2
+
+    # --- torch: per-sample loop exactly as loss_RAFT.__call__ ---------
+    t1 = torch.tensor(np.transpose(f1, (0, 3, 1, 2)), requires_grad=True)
+    t2 = torch.tensor(np.transpose(f2, (0, 3, 1, 2)), requires_grad=True)
+    loss_t = sum(
+        tr(t1[x, None], t2[x, None], iters=ITERS, test_mode=True).mean().abs()
+        for x in range(B)
+    )
+    loss_t.backward()
+    want1 = np.transpose(t1.grad.numpy(), (0, 2, 3, 1))
+    want2 = np.transpose(t2.grad.numpy(), (0, 2, 3, 1))
+
+    # --- JAX: batched raft_flow_loss (the aux_losses.build_flow_fn path)
+    model = raft_mod.RAFT(iters=ITERS)
+
+    def loss_fn(a, b):
+        return raft_mod.raft_flow_loss(model, params, a, b, iters=ITERS)
+
+    loss_j, (got1, got2) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        jnp.asarray(f1), jnp.asarray(f2)
+    )
+    got1 = np.asarray(got1)
+    got2 = np.asarray(got2)
+
+    assert np.isfinite(want1).all() and np.isfinite(want2).all()
+    assert abs(float(loss_j) - float(loss_t)) < 2e-3 * max(abs(float(loss_t)), 1.0)
+    # Gradients through 2 unrolled refinement iterations: compare at a
+    # scale-relative tolerance (f32, different reduction orders).
+    for got, want in ((got1, want1), (got2, want2)):
+        scale = np.abs(want).max()
+        assert scale > 0
+        assert np.abs(got - want).max() < 5e-3 * scale, (
+            np.abs(got - want).max(), scale
+        )

@@ -356,6 +356,10 @@ def _run_reference(batches, dbl=False, steps=STEPS):
         sds_steps.append(
             {k: _sd(v) for k, v in nets.items() if k != "fan"}
         )
+        import os as _os
+
+        if _os.environ.get("PPVISION_DYNAMICS_PROBE"):
+            print(f"  [torch ref iter {it} done]", flush=True)
 
     sds_final = dict(
         nets={k: _sd(v) for k, v in nets.items()},
