@@ -18,27 +18,32 @@ __all__ = ["ssim", "psnr", "gaussian_window"]
 
 
 def gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
-    """1-D Gaussian window, normalized to sum 1 (float32)."""
+    """1-D Gaussian window, normalized to sum 1 (float32).
+
+    Rounds to f32 BEFORE normalizing, exactly as the reference's
+    ``pytorch_ssim.gaussian`` (f32 tensor, f32 sum/divide) — so the
+    values promote bit-identically in the f64 dynamics goldens."""
     x = np.arange(size, dtype=np.float64) - size // 2
-    g = np.exp(-(x**2) / (2.0 * sigma**2))
-    return (g / g.sum()).astype(np.float32)
+    g = np.exp(-(x**2) / (2.0 * sigma**2)).astype(np.float32)
+    return g / g.sum()
 
 
 def _gauss_filter(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     """Separable depthwise Gaussian blur with SAME zero padding (torch
     conv2d padding=window//2 semantics)."""
+    from ..ops.cpuconv import conv2d
+
     c = x.shape[-1]
     kh = jnp.asarray(win, dtype=x.dtype)[:, None, None, None]
     kw = jnp.asarray(win, dtype=x.dtype)[None, :, None, None]
-    dn = ("NHWC", "HWIO", "NHWC")
     pad = len(win) // 2
-    x = jax.lax.conv_general_dilated(
+    x = conv2d(
         x, jnp.tile(kh, (1, 1, 1, c)), (1, 1), [(pad, pad), (0, 0)],
-        dimension_numbers=dn, feature_group_count=c,
+        feature_group_count=c,
     )
-    return jax.lax.conv_general_dilated(
+    return conv2d(
         x, jnp.tile(kw, (1, 1, 1, c)), (1, 1), [(0, 0), (pad, pad)],
-        dimension_numbers=dn, feature_group_count=c,
+        feature_group_count=c,
     )
 
 

@@ -119,4 +119,5 @@ class CaptionEncoder(nn.Module):
     def __call__(self, x, train: bool = False):
         x = ResNetBackbone(self.stage_sizes, dtype=self.dtype)(x, train=train)
         s = self.encoded_image_size
-        return adaptive_avg_pool(x, (s, s)).astype(jnp.float32)
+        out = adaptive_avg_pool(x, (s, s))
+        return out.astype(jnp.promote_types(out.dtype, jnp.float32))

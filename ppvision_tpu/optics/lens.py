@@ -303,7 +303,7 @@ def lens_apply(
     else:
         psf, coeffs = lens_psf(params, consts, spec, noise_key)
 
-    psf_loss = jnp.float32(0.0)
+    psf_loss = jnp.zeros((), psf.dtype)
     if mask_mode in ("1", "3"):
         # || psf * mask1 - psf || = Frobenius norm of the PSF inside the disk.
         psf_loss = jnp.linalg.norm(psf * consts.mask_keep)

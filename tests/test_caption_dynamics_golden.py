@@ -155,7 +155,11 @@ def _build_torch_lens(tmp_path):
     return camera
 
 
-def _run_reference(batches, tmp_path):
+def _run_reference(batches, tmp_path, dbl=False, steps=STEPS):
+    """``dbl=True`` runs the recipe in float64 (free-running f64
+    golden): modules ``.double()``-converted, plus the OpticsZernike
+    ``zernike_volume`` plain attribute (f32, not touched by
+    ``Module.double()``) converted explicitly."""
     ref_models, ref_utils = import_caption_models(
         lambda *a, **k: TResNet101Like(STAGES)
     )
@@ -187,6 +191,11 @@ def _run_reference(batches, tmp_path):
     camera.mask_1 = torch.from_numpy(np.broadcast_to(1.0 - keep, (PATCH, PATCH, 3)).copy())
     camera.mask_2 = torch.from_numpy(np.broadcast_to(keep, (PATCH, PATCH, 3)).copy())
 
+    if dbl:
+        encoder.double(), decoder.double(), camera.double()
+        camera.zernike_volume = camera.zernike_volume.double()
+    _cast = (lambda t: t.double()) if dbl else (lambda t: t)
+
     encoder.train(), decoder.train(), camera.train()
     criterion = tnn.CrossEntropyLoss()
     noise_loss = pytorch_ssim.SSIM()
@@ -204,9 +213,9 @@ def _run_reference(batches, tmp_path):
 
     history = []
     sds_steps = []  # trunk/decoder/camera state-dicts after EVERY iteration
-    for it in range(STEPS):
+    for it in range(steps):
         bt = batches[it % len(batches)]
-        imgs = _nchw(bt["images"])
+        imgs = _cast(_nchw(bt["images"]))
         caps = torch.tensor(bt["captions"])
         caplens = torch.tensor(bt["caption_lengths"]).unsqueeze(1)
 

@@ -1,0 +1,154 @@
+"""FREE-RUNNING f64 caption-training golden vs the live torch reference.
+
+Counterpart of test_train_free_running_f64 for the Image_Caption
+trainer (reference train.py:243-352): both sides run camera -> ResNet
+encoder -> attention-LSTM decoder with the full loss soup and all three
+Adams at FLOAT64 for several steps with NO teacher-forcing re-sync.
+
+Unlike the GAN pair this objective is a smooth supervised soup — no
+adversarial amplification — so the free-running window is longer and
+gentler.  The error floor here is NOT the f64 reassociation level: the
+lens optics keep f32-rounded folded constants (chirps, Fresnel kernel,
+Zernike planes — optics/lens.py design) and the torch OpticsZernike
+mixes its own f32 zernike_volume into double compute, so the loss
+floor at step 0 is ~1e-6 relative (measured: loss 6e-7, ce 8e-7, ssim
+5e-6, psf 8e-7; dsr and top5 exact), not the 1e-15 reassociation
+level.  Free-running behavior (probe): the camera-dominated terms
+(ssim, psf_loss) stay at 1e-6..1e-4 through all 6 steps — the camera
+trajectory is faithful end-to-end — while ce drifts through the
+decoder's early-Adam sign kicks to a ~1e-2 plateau by step 2 (smooth
+objective: bounded drift, no adversarial blow-up), dragging the
+discrete top5 rank count with it.  A compounding bias in any loss term
+or optimizer detail would instead grow super-linearly from its
+step-0 floor.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from .test_caption_dynamics_golden import (
+    ATT,
+    B,
+    CAMERA_LR,
+    DEC,
+    DECODER_LR,
+    EMB,
+    ENC_IMG,
+    ENCODER_LR,
+    STAGES,
+    VOCAB,
+    _make_batches,
+    _run_reference,
+)
+
+FSTEPS = 6
+# Per-metric per-step max-rel-err envelopes (~5-10x the probe maxima;
+# see module doc for the measured trajectory shapes).
+METRIC_REL_TOL = {
+    "loss": [5e-6, 3e-4, 5e-3, 5e-3, 1e-2, 1e-2],
+    "ce": [1e-5, 2e-3, 3e-2, 3e-2, 3e-2, 6e-2],
+    "dsr": [1e-4] * 6,
+    "ssim": [3e-5, 3e-5, 6e-5, 6e-5, 6e-5, 2e-4],
+    "psf_loss": [1e-5, 1e-5, 2e-4, 2e-4, 6e-4, 1e-3],
+}
+# top5 is a discrete rank count: exact while the ce drift is below the
+# near-tie spacing (steps 0-1), then rank flips are expected.
+TOP5_EXACT_STEPS = 2
+
+
+@pytest.mark.slow  # ~6 torch double caption iters + one f64 jit (CPU)
+def test_caption_free_running_f64_matches_reference(tmp_path):
+    probe = bool(os.environ.get("PPVISION_CAPTION_PROBE"))
+    batches = _make_batches(3)
+    history, sds_init, sds_steps, spec, consts = _run_reference(
+        batches, tmp_path, dbl=True, steps=FSTEPS
+    )
+
+    import contextlib
+
+    @contextlib.contextmanager
+    def enable_x64():
+        jax.config.update("jax_enable_x64", True)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    with enable_x64():
+        from ppvision_tpu.config import CaptionConfig
+        from ppvision_tpu.train.caption import (
+            init_caption, make_caption_train_step, make_optimizers,
+        )
+        from ppvision_tpu.utils import torch_import as ti
+
+        cfg = CaptionConfig(
+            emb_dim=EMB, attention_dim=ATT, decoder_dim=DEC,
+            encoded_image_size=ENC_IMG, batch_size=B, dropout=0.0,
+            camera_lr=CAMERA_LR, encoder_lr=ENCODER_LR, decoder_lr=DECODER_LR,
+            camera_loss="SSIM",
+        )
+        asj = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
+        with ti.preserve_float64():
+            lens_params = asj(ti.lens_params_from_torch(sds_init["camera"]))
+            enc_vars = asj(ti.caption_encoder_variables_from_torch(
+                sds_init["trunk"], STAGES))
+            dec_params = asj(ti.decoder_params_from_torch(sds_init["decoder"]))
+        encoder, decoder, state = init_caption(
+            jax.random.key(0), cfg, VOCAB, spec, lens_params,
+            encoder_stages=STAGES,
+        )
+        assert jax.tree_util.tree_leaves(dec_params)[0].dtype == jnp.float64
+        # Re-init the three optimizers from the f64 trees (init_caption
+        # built them from its own f32 inits).
+        opt_cam, opt_enc, opt_dec = make_optimizers(cfg)
+        state = state.replace(
+            camera=lens_params,
+            encoder=dict(enc_vars),
+            decoder=dec_params,
+            opt_camera=opt_cam.init(lens_params),
+            opt_encoder=opt_enc.init(enc_vars["params"]),
+            opt_decoder=opt_dec.init(dec_params),
+        )
+        step = make_caption_train_step(encoder, decoder, cfg, spec, consts)
+
+        jb = [
+            dict(
+                images=jnp.asarray(bt["images"], jnp.float64),
+                captions=jnp.asarray(bt["captions"], jnp.int32),
+                caption_lengths=jnp.asarray(bt["caption_lengths"], jnp.int32),
+            )
+            for bt in batches
+        ]
+
+        for it in range(FSTEPS):
+            state, metrics = step(state, jb[it % len(batches)], jax.random.key(it))
+            for k, want in history[it].items():
+                got = float(metrics[k])
+                err = abs(got - want) / max(abs(want), 1e-3)
+                if probe:
+                    print(
+                        f"  step {it} {k:9s} ref {want:.8f} ours {got:.8f} "
+                        f"rel {err:.3e}", flush=True,
+                    )
+                elif k == "top5":
+                    if it < TOP5_EXACT_STEPS:
+                        assert err < 1e-9, (it, got, want)
+                else:
+                    assert err < METRIC_REL_TOL[k][it], (it, k, got, want, err)
+
+        # Post-run: every trained group finite.
+        for tree in (state.camera, state.encoder["params"], state.decoder):
+            for a in jax.tree_util.tree_leaves(tree):
+                assert bool(jnp.all(jnp.isfinite(a)))
+
+
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", "cpu")
+    import tempfile
+
+    os.environ.setdefault("PPVISION_CAPTION_PROBE", "1")
+    test_caption_free_running_f64_matches_reference(tempfile.mkdtemp())
