@@ -79,19 +79,30 @@ def main() -> None:
     float(fn(bundle.params, x_src, x_ref, y_ref))  # compile + warm up
 
     k = int(os.environ.get("PPVISION_BENCH_CHAIN", "16"))
+    n_reps = int(os.environ.get("PPVISION_BENCH_REPS", "6"))
 
-    def chain_time(f, *args) -> float:
+    def chain_times(f, *args) -> list[float]:
+        """Per-step times of ``n_reps`` independent K-dispatch chains."""
         times = []
-        for _ in range(6):
+        for _ in range(n_reps):
             t0 = time.perf_counter()
             out = None
             for _ in range(k):
                 out = f(*args)
             float(out)  # sync the whole chain
             times.append((time.perf_counter() - t0) / k)
-        return min(times)
+        return times
 
-    img_s = (b * r) / chain_time(fn, bundle.params, x_src, x_ref, y_ref)
+    def chain_time(f, *args) -> float:
+        return min(chain_times(f, *args))
+
+    def _median(v: list[float]) -> float:
+        s = sorted(v)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    t_head = chain_times(fn, bundle.params, x_src, x_ref, y_ref)
+    img_s = (b * r) / min(t_head)
 
     # Second formulation: ONE output per source (single-style), the
     # strictest per-image accounting (no amortization of the privacy
@@ -111,6 +122,13 @@ def main() -> None:
         "value": round(img_s, 1),
         "unit": "img/s",
         "vs_baseline": round(img_s / BASELINE_IMG_S, 3),
+        # Run-to-run spread of the headline over n_reps independent
+        # K-dispatch chains (each chain is one timing sample), so the
+        # margin over baseline is auditable against measurement noise.
+        "img_s_median": round((b * r) / _median(t_head), 1),
+        "img_s_min": round((b * r) / max(t_head), 1),
+        "img_s_max": round((b * r) / min(t_head), 1),
+        "n_reps": n_reps,
         "single_style_img_s": round(single_img_s, 1),
     }
 

@@ -71,7 +71,7 @@ def _resize(img: np.ndarray, size: tuple[int, int]) -> np.ndarray:
 
 def _sample_crop_box(
     hw: tuple[int, int], rng: np.random.Generator, scale=(0.8, 1.0), ratio=(0.9, 1.1)
-) -> tuple[int, int, int, int] | None:
+) -> tuple[int, int, int, int]:
     """torchvision RandomResizedCrop box (y, x, h, w) for an (H, W)
     image; center fallback (10-attempt semantics)."""
     h, w = hw
@@ -243,16 +243,17 @@ class FaceBatcher:
                     hw = (1, 1)
                 crop = (0, 0, hw[0], hw[1])
                 if rng.random() < self.crop_prob:
-                    box = _sample_crop_box(hw, rng)
-                    if box is not None:
-                        crop = box
+                    crop = _sample_crop_box(hw, rng)
                 datas.append(data)
                 crops.append(crop)
                 flips.append(rng.random() < 0.5)
             out, ok = native.batch_decode_transform(
                 datas, np.asarray(crops, np.int32), (s, s), np.asarray(flips)
             )
-            for i in np.nonzero(~ok)[0].tolist() + bad:
+            # A header-parse failure lands in both ``bad`` and ``~ok`` —
+            # dedupe so the PIL fallback decodes (and draws RNG for)
+            # each slot exactly once.
+            for i in sorted(set(np.nonzero(~ok)[0].tolist()) | set(bad)):
                 # Corrupt stream: decode via PIL (raises loudly on a
                 # truly broken file — the reference loader's behavior).
                 out[i] = train_transform(_load_rgb(paths[i]), rng, s, 0.0)
@@ -264,9 +265,7 @@ class FaceBatcher:
             h, w = img.shape[:2]
             crop = (0, 0, h, w)
             if rng.random() < self.crop_prob:
-                box = _sample_crop_box((h, w), rng)
-                if box is not None:
-                    crop = box
+                crop = _sample_crop_box((h, w), rng)
             imgs.append(img)
             crops.append(crop)
             flips.append(rng.random() < 0.5)

@@ -207,7 +207,8 @@ def batch_decode_transform(
     loader's corrupt-image skip).
     """
     lib = _load()
-    assert lib is not None and lib.ppv_has_jpeg(), "native jpeg unavailable"
+    if lib is None or not lib.ppv_has_jpeg():
+        raise RuntimeError("native jpeg unavailable")
     n = len(datas)
     dh, dw = out_hw
     bufs = [np.frombuffer(d, np.uint8) for d in datas]
@@ -226,11 +227,16 @@ def batch_decode_transform(
         mean = np.ascontiguousarray(mean, np.float32)
         std = np.ascontiguousarray(std, np.float32)
         m, s = mean.ctypes.data, std.ctypes.data
-    lib.ppv_batch_decode_transform(
+    rc = lib.ppv_batch_decode_transform(
         ptrs, lens, cy, cx, ch, cw, fl,
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), dh, dw, n, m, s,
         ok, n_threads,
     )
+    if rc < 0:
+        # rc >= 0 is the corrupt-slot count (those slots are zero-filled
+        # with ok=False); a no-libjpeg build's stub returns -1 without
+        # touching dst — never hand back uninitialized np.empty data.
+        raise RuntimeError(f"ppv_batch_decode_transform failed (rc={rc})")
     return dst, np.asarray(ok, np.bool_)
 
 
@@ -244,7 +250,8 @@ def batch_transform(
     n_threads: int = 8,
 ) -> np.ndarray:
     lib = _load()
-    assert lib is not None, "native transform unavailable"
+    if lib is None:
+        raise RuntimeError("native transform unavailable")
     n = len(imgs)
     dh, dw = out_hw
     imgs = [np.ascontiguousarray(im, np.uint8) for im in imgs]

@@ -136,21 +136,29 @@ class CoordConv(nn.Module):
 
 
 class FrozenBatchNorm(nn.Module):
-    """BatchNorm with running stats stored as parameters (eval-only)."""
+    """BatchNorm with running stats stored as parameters (eval-only).
+
+    ``fold=True`` returns the folded f32 ``(mul, add)`` pair instead of
+    applying it (``x`` then only supplies the channel count) — used by
+    the fused Pallas DenseConvBlock, which applies the same
+    compute-dtype scale/shift inside the kernel."""
 
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold: bool = False):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         mean = self.param("mean", nn.initializers.zeros, (c,))
         var = self.param("var", nn.initializers.ones, (c,))
         # Fold stats into one scale/shift, applied in the compute dtype.
-        mul = (jax.lax.rsqrt(var + self.eps) * scale).astype(x.dtype)
-        add = (bias - mean * jax.lax.rsqrt(var + self.eps) * scale).astype(x.dtype)
-        return x * mul + add
+        # (Same association as ever: mean * rsqrt * scale, left-to-right.)
+        mulf = jax.lax.rsqrt(var + self.eps) * scale
+        addf = bias - mean * jax.lax.rsqrt(var + self.eps) * scale
+        if fold:
+            return mulf, addf
+        return x * mulf.astype(x.dtype) + addf.astype(x.dtype)
 
 
 class DenseConvBlock(nn.Module):
@@ -191,6 +199,30 @@ class DenseConvBlock(nn.Module):
         k1 = _KernelParams((3, 3, cin, half), name="Conv_0")
         k2 = _KernelParams((3, 3, half, quarter), name="Conv_1")
         k3 = _KernelParams((3, 3, quarter, quarter), name="Conv_2")
+
+        if not self.pool_output and self.in_features == self.features == cin:
+            from ..ops.denseblock import dense_block_eligible, fused_dense_block
+
+            xc = x.astype(dt)
+            # x.dtype == dt keeps BN numerics identical to the unfused
+            # path (which normalizes in x's own dtype before the conv
+            # casts).
+            if x.dtype == jnp.dtype(dt) and dense_block_eligible(
+                xc, self.features
+            ):
+                # Whole block in one Pallas kernel: read x once, write
+                # concat+residual once (ops/denseblock.py).  The three
+                # FrozenBatchNorms are declared in the SAME call order
+                # as the unfused path (auto-names _0/_1/_2); ``fold``
+                # hands their folded (mul, add) to the kernel, and the
+                # channel-sliced dummies only supply channel counts.
+                bn1 = FrozenBatchNorm()(x, fold=True)
+                bn2 = FrozenBatchNorm()(x[..., :half], fold=True)
+                bn3 = FrozenBatchNorm()(x[..., :quarter], fold=True)
+                return fused_dense_block(
+                    xc, k1().astype(dt), k2().astype(dt), k3().astype(dt),
+                    bn1, bn2, bn3,
+                )
 
         h1 = bn_relu(x)
         o1 = conv3x3(h1, k1())

@@ -119,8 +119,33 @@ class Conv(nn.Conv):
 
         from ..ops import winograd
 
+        def _default_dilation(d):
+            return d is None or all(int(v) == 1 for v in (
+                (d,) * len(self.kernel_size) if isinstance(d, int) else d
+            ))
+
+        # The tap-sum f64 form implements plain dense convs only — any
+        # nn.Conv feature it doesn't cover (mask, dilation, exotic
+        # padding) falls through to super().__call__ rather than
+        # silently computing the wrong thing.
+        _f64_supported = (
+            self.feature_group_count == 1
+            and getattr(self, "mask", None) is None
+            and _default_dilation(self.input_dilation)
+            and _default_dilation(self.kernel_dilation)
+            and (
+                self.padding in ("SAME", "VALID")
+                or (
+                    not isinstance(self.padding, (str, int))
+                    and all(
+                        hasattr(p, "__len__") and len(p) == 2
+                        for p in self.padding
+                    )
+                )
+            )
+        )
         dt = self.dtype or x.dtype
-        if jnp.dtype(dt) == jnp.float64 and self.feature_group_count == 1:
+        if jnp.dtype(dt) == jnp.float64 and _f64_supported:
             from ..ops.cpuconv import conv2d
 
             kernel = self.param(
@@ -383,15 +408,33 @@ class Generator(nn.Module):
         cache = []
         for i in range(rn):
             if masks is not None and x.shape[-3] in (32, 64, 128):
-                cache.append((x.shape[-3], x - jnp.mean(x).astype(x.dtype)))
+                # Reference caches ``x - x.mean()`` (model.py:175).  The
+                # global scalar mean is computed as the mean of the
+                # per-(b, c) HW means — the HW-stats reduction is the
+                # SAME HLO the next ResBlk's InstanceNorm runs on this
+                # tensor, so XLA CSEs the full-tensor pass and the
+                # scalar costs one tiny (B, 1, 1, C) reduce (the flat
+                # jnp.mean spent 4.1 ms/step of extra full passes at
+                # bench shapes).  Exact same value up to f32 reduction
+                # order.
+                xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+                m = jnp.mean(jnp.mean(xf, axis=(-3, -2), keepdims=True))
+                cache.append((x.shape[-3], x, m))
             x = getattr(self, f"ResBlk_{i}")(x)
         for j in range(2):
             x = getattr(self, f"ResBlk_{rn + j}")(x)
         hps = []
-        for size, feat in cache:
+        for size, feat, m in cache:
             mask = masks[0] if size == 32 else masks[1]
             mask = resize_bilinear(mask, (size, size)).astype(feat.dtype)
-            hps.append((size, highpass(mask * feat, self.w_hpf)))
+            # highpass is linear, so
+            #   HP(mask * (x - m)) = HP(mask * x) - m * HP(mask)
+            # — the centered tensor is never materialized and the
+            # correction is a 1-channel depthwise conv on the mask.
+            hp = highpass(mask * feat, self.w_hpf) - m.astype(
+                feat.dtype
+            ) * highpass(mask, self.w_hpf)
+            hps.append((size, hp))
         return x, tuple(hps)
 
     def decode(self, z, s, hps=()):

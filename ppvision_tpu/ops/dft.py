@@ -72,14 +72,17 @@ def cexp(phase) -> Split:
 
 
 @lru_cache(maxsize=64)
-def _dft_cs_np(n: int) -> tuple[np.ndarray, np.ndarray]:
+def _dft_cs_np(n: int, f64: bool = False) -> tuple[np.ndarray, np.ndarray]:
     j, k = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
     ang = 2.0 * np.pi * j * k / n
-    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+    dt = np.float64 if f64 else np.float32
+    return np.cos(ang).astype(dt), np.sin(ang).astype(dt)
 
 
-def _dft_cs(n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    c, s = _dft_cs_np(n)
+def _dft_cs(n: int, dtype=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    # float64 inputs get full-precision matrices (the f64 dynamics
+    # goldens route through here under x64); everything else keeps f32.
+    c, s = _dft_cs_np(n, dtype is not None and jnp.dtype(dtype) == jnp.float64)
     return jnp.asarray(c), jnp.asarray(s)
 
 
@@ -101,7 +104,7 @@ def use_matmul_dft() -> bool:
 def _apply_axis_mm(re, im, axis: int, inverse: bool) -> Split:
     """One DFT axis as real matmuls: contract ``axis`` with C +/- iS."""
     n = re.shape[axis]
-    c, s = _dft_cs(n)
+    c, s = _dft_cs(n, re.dtype)
     re_m = jnp.moveaxis(re, axis, -1)
     im_m = jnp.moveaxis(im, axis, -1) if im is not None else None
 
@@ -132,7 +135,9 @@ def _apply_axis_mm(re, im, axis: int, inverse: bool) -> Split:
 
 def _pack(re, im):
     if im is None:
-        return re.astype(jnp.complex64)
+        # f64 reals pack to complex128 (f64 golden path); else complex64.
+        cdt = jnp.complex128 if re.dtype == jnp.float64 else jnp.complex64
+        return re.astype(cdt)
     return jax.lax.complex(re, im)
 
 

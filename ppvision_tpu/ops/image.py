@@ -92,10 +92,19 @@ def resize_bilinear(
     if (h, w) == (oh, ow):
         return x
     if os.environ.get("PPVISION_RESIZE") == "gather":
-        lo, hi, wt = _bilinear_weights(h, oh, align_corners)
+        # Interpolation weights in the INPUT dtype: f64 inputs get the
+        # full-double weights (same source as the f64 matrix path the
+        # free-running f64 goldens use); everything else keeps f32.
+        wdt = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+
+        def _wts(in_size, out_size):
+            lo, hi, w = _bilinear_weights_np(in_size, out_size, align_corners)
+            return jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(w.astype(wdt))
+
+        lo, hi, wt = _wts(h, oh)
         wt = wt[:, None, None]
         x = x.take(lo, axis=-3) * (1 - wt) + x.take(hi, axis=-3) * wt
-        lo, hi, wt = _bilinear_weights(w, ow, align_corners)
+        lo, hi, wt = _wts(w, ow)
         wt = wt[:, None]
         x = x.take(lo, axis=-2) * (1 - wt) + x.take(hi, axis=-2) * wt
         return x

@@ -113,7 +113,9 @@ class LensResult(NamedTuple):
 
 
 def make_lens_constants(
-    spec: LensSpec, frozen_coeffs: np.ndarray | None = None
+    spec: LensSpec,
+    frozen_coeffs: np.ndarray | None = None,
+    dtype=np.float32,
 ) -> LensConstants:
     """Build device constants.
 
@@ -122,7 +124,13 @@ def make_lens_constants(
     if they are nonzero (they are zero in every shipped config,
     reference ``Image_Caption/Camera/Lens.py:80-96``).  Changing frozen
     coefficients requires rebuilding constants — they are frozen.
+
+    ``dtype=np.float64`` keeps the folded constants (chirps, Fresnel
+    kernel, Zernike planes) at full double precision — the host-side
+    math is f64 already, this just skips the final f32 rounding.  Used
+    by the free-running f64 dynamics goldens; requires x64 mode.
     """
+    dtype = np.dtype(dtype)
     n = spec.wave_res
     c = len(spec.wavelengths)
     lam = np.asarray(spec.wavelengths, dtype=np.float64)[None, None, :]
@@ -165,11 +173,11 @@ def make_lens_constants(
             img=m, center=[p // 2, p // 2], radius=spec.mask_radius_px,
             color=1.0, thickness=-1, lineType=cv2.FILLED,
         )
-        inside = m.astype(np.float32)[:, :, None]
+        inside = m.astype(dtype)[:, :, None]
     except ImportError:
         yy2, xx2 = np.indices((p, p), dtype=np.float64)
         rr = np.hypot(yy2 - p // 2, xx2 - p // 2)
-        inside = (rr <= spec.mask_radius_px).astype(np.float32)[:, :, None]
+        inside = (rr <= spec.mask_radius_px).astype(dtype)[:, :, None]
 
     # Zernike planes: defocus is the only trainable direction; fold the
     # frozen contribution into one static plane.  Computing just the
@@ -178,30 +186,36 @@ def make_lens_constants(
 
     if frozen_coeffs is None:
         basis4 = zernike_basis(4, n)[3] * 1e-6
-        height_base = np.zeros((n, n), dtype=np.float32)
-        defocus_plane = basis4.astype(np.float32)
+        height_base = np.zeros((n, n), dtype=dtype)
+        # The shipped f32 mode reproduces the reference's f32 volume
+        # rounding (Lens.py:70) before any further math.
+        defocus_plane = basis4.astype(np.float32).astype(dtype)
+        if dtype == np.float64:
+            defocus_plane = basis4
     else:
         frozen = np.asarray(frozen_coeffs, dtype=np.float64).copy()
         t = frozen.shape[0]
         frozen[3] = 0.0
         vol = zernike_volume(n, t).astype(np.float64)
-        height_base = np.einsum("t,thw->hw", frozen, vol).astype(np.float32)
-        defocus_plane = vol[3].astype(np.float32)
+        if dtype == np.float64:
+            vol = zernike_basis(t, n) * 1e-6
+        height_base = np.einsum("t,thw->hw", frozen, vol).astype(dtype)
+        defocus_plane = vol[3].astype(dtype)
 
     def split(z):
         return (
-            jnp.asarray(z.real, dtype=jnp.float32),
-            jnp.asarray(z.imag, dtype=jnp.float32),
+            jnp.asarray(z.real, dtype=dtype),
+            jnp.asarray(z.imag, dtype=dtype),
         )
 
     return LensConstants(
         height_base=jnp.asarray(height_base),
         defocus_plane=jnp.asarray(defocus_plane),
-        phase_scale=jnp.asarray((wave_nos * delta_n).reshape(c), dtype=jnp.float32),
+        phase_scale=jnp.asarray((wave_nos * delta_n).reshape(c), dtype=dtype),
         static_pre=split(static_pre),
         fresnel_h=split(h),
         mask_keep=jnp.asarray(inside),
-        mask_cut=jnp.asarray(1.0 - inside),
+        mask_cut=jnp.asarray((1.0 - inside).astype(dtype)),
     )
 
 

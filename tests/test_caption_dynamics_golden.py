@@ -186,14 +186,100 @@ def _run_reference(batches, tmp_path, dbl=False, steps=STEPS):
         wave_res=WAVE, patch_size=PATCH, zernike_terms=TERMS,
         height_tolerance=0.0,
     )
-    consts = make_lens_constants(spec)
+    # dbl: full-double folded constants on BOTH sides — ours via the
+    # make_lens_constants dtype opt-in; torch via precision patches
+    # below (its compl_exp_tf/psf2otf hardcode complex64 and its
+    # zernike_volume is f32-generated even under Module.double()).
+    if dbl:
+        # x64 must be on while the f64 jnp constants are created (else
+        # jnp.asarray silently truncates them to f32); the arrays keep
+        # their dtype afterwards and are consumed under enable_x64().
+        jax.config.update("jax_enable_x64", True)
+    try:
+        consts = make_lens_constants(
+            spec, dtype=np.float64 if dbl else np.float32
+        )
+    finally:
+        if dbl:
+            jax.config.update("jax_enable_x64", False)
     keep = np.asarray(consts.mask_keep, np.float64)  # (P, P, 1)
     camera.mask_1 = torch.from_numpy(np.broadcast_to(1.0 - keep, (PATCH, PATCH, 3)).copy())
     camera.mask_2 = torch.from_numpy(np.broadcast_to(keep, (PATCH, PATCH, 3)).copy())
 
     if dbl:
         encoder.double(), decoder.double(), camera.double()
-        camera.zernike_volume = camera.zernike_volume.double()
+        # f64-precise Zernike volume, the same basis values our f64
+        # constants fold (zernike_basis is shared through the poppy
+        # shim, so f32 mode already matches bit-for-bit).
+        from ppvision_tpu.optics.zernike import zernike_basis
+
+        vol64 = zernike_basis(TERMS, WAVE) * 1e-6
+        camera.zernike_volume = torch.from_numpy(vol64.copy())
+        # Lift the reference's hardcoded complex64 casts to complex128
+        # (Utils.py:80-85 compl_exp_tf, Utils.py:126-157 psf2otf) in
+        # BOTH the Utils and Lens namespaces (Lens does import *).
+        import importlib
+
+        lens_mod = type(camera).__module__
+        lens_ns = importlib.import_module(lens_mod)
+        utils_ns = importlib.import_module(
+            lens_mod.rsplit(".", 1)[0] + ".Utils"
+        )
+        orig_cexp = utils_ns.compl_exp_tf
+
+        def cexp128(phase, dtype=torch.complex64):  # noqa: ARG001
+            return orig_cexp(phase, dtype=torch.complex128)
+
+        def psf2otf128(input_filter, output_size):
+            # The reference's psf2otf verbatim (Utils.py:126-157) with
+            # the hardcoded complex64 cast lifted to complex128.
+            import torch.nn.functional as F  # noqa: PLC0415
+
+            fh, fw, _, _ = list(input_filter.shape)
+            if output_size[0] != fh:
+                pad = (output_size[0] - fh) / 2
+                if (output_size[0] - fh) % 2 != 0:
+                    pt = pl_ = int(np.ceil(pad))
+                    pb = pr = int(np.floor(pad))
+                else:
+                    pt = pl_ = int(pad) + 1
+                    pb = pr = int(pad) - 1
+                padded = F.pad(input_filter, [0, 0, 0, 0, pl_, pr, pt, pb])
+            else:
+                padded = input_filter
+            padded = padded.permute(2, 0, 1, 3)
+            padded = utils_ns.ifftshift2d(padded)
+            padded = padded.permute(1, 2, 0, 3)
+            tmp = padded.permute(2, 3, 0, 1)
+            tmp = torch.fft.fftn(tmp.type(torch.complex128), dim=[-1, -2])
+            return tmp.permute(2, 3, 0, 1)
+
+        orig_area = utils_ns.area_downsampling_tf
+
+        def area_downsample64(input_image, target_side_length):
+            # Reference verbatim (Utils.py:216-248) minus the hardcoded
+            # ``.type(torch.float32)`` PSF rounding; only the divisible
+            # (plain AvgPool) branch is exercised at test scales.
+            input_shape = list(input_image.shape)
+            if not input_shape[1] % target_side_length:
+                factor = int(input_shape[1] / target_side_length)
+                x = input_image.permute(0, 3, 1, 2)
+                x = torch.nn.AvgPool2d(factor, stride=factor)(x)
+                return x.permute(0, 2, 3, 1)
+            return orig_area(input_image, target_side_length)
+
+        _patched = []
+        for ns in (utils_ns, lens_ns):
+            for name, fn in (
+                ("compl_exp_tf", cexp128),
+                ("psf2otf", psf2otf128),
+                ("area_downsampling_tf", area_downsample64),
+            ):
+                if hasattr(ns, name):
+                    _patched.append((ns, name, getattr(ns, name)))
+                    setattr(ns, name, fn)
+    else:
+        _patched = []
     _cast = (lambda t: t.double()) if dbl else (lambda t: t)
 
     encoder.train(), decoder.train(), camera.train()
@@ -250,6 +336,8 @@ def _run_reference(batches, tmp_path, dbl=False, steps=STEPS):
         sds_steps.append(
             dict(trunk=_sd(trunk), decoder=_sd(decoder), camera=_sd(camera)))
 
+    for ns, name, orig in _patched:
+        setattr(ns, name, orig)
     return history, sds_init, sds_steps, spec, consts
 
 
