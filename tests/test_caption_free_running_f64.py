@@ -7,20 +7,23 @@ Adams at FLOAT64 for several steps with NO teacher-forcing re-sync.
 
 Unlike the GAN pair this objective is a smooth supervised soup — no
 adversarial amplification — so the free-running window is longer and
-gentler.  The error floor here is NOT the f64 reassociation level: the
-lens optics keep f32-rounded folded constants (chirps, Fresnel kernel,
-Zernike planes — optics/lens.py design) and the torch OpticsZernike
-mixes its own f32 zernike_volume into double compute, so the loss
-floor at step 0 is ~1e-6 relative (measured: loss 6e-7, ce 8e-7, ssim
-5e-6, psf 8e-7; dsr and top5 exact), not the 1e-15 reassociation
-level.  Free-running behavior (probe): the camera-dominated terms
-(ssim, psf_loss) stay at 1e-6..1e-4 through all 6 steps — the camera
+gentler.  Round 5 dropped the step-0 bias floor ~100x by removing
+every f32 pinch shared-but-rounded between the two sides: our folded
+lens constants build at f64 (``make_lens_constants(dtype=f64)``), the
+torch side's hardcoded complex64 casts (compl_exp_tf, psf2otf), f32
+PSF downsample (area_downsampling_tf) and f32 zernike_volume are
+patched to double in ``_run_reference(dbl=True)``, and the SSIM window
+is bit-identical to pytorch_ssim's (libm exp, f64-accumulated f32 sum,
+f32 2-D outer product).  Measured step-0 floors: loss 6e-9, ssim
+8e-12, psf 1e-11, ce 7e-8 (the ce remainder is ResNet/LSTM f64
+reduction-order drift); dsr and top5 exact.  Free-running behavior
+(probe): camera terms stay <=2e-5 through all 6 steps — the camera
 trajectory is faithful end-to-end — while ce drifts through the
-decoder's early-Adam sign kicks to a ~1e-2 plateau by step 2 (smooth
+decoder's early-Adam sign kicks to ~1e-3..8e-3 by steps 3-5 (smooth
 objective: bounded drift, no adversarial blow-up), dragging the
-discrete top5 rank count with it.  A compounding bias in any loss term
-or optimizer detail would instead grow super-linearly from its
-step-0 floor.
+discrete top5 rank count with it from step 3.  A compounding bias in
+any loss term or optimizer detail would instead grow super-linearly
+from its step-0 floor.
 """
 
 import os
@@ -49,15 +52,15 @@ FSTEPS = 6
 # Per-metric per-step max-rel-err envelopes (~5-10x the probe maxima;
 # see module doc for the measured trajectory shapes).
 METRIC_REL_TOL = {
-    "loss": [5e-6, 3e-4, 5e-3, 5e-3, 1e-2, 1e-2],
-    "ce": [1e-5, 2e-3, 3e-2, 3e-2, 3e-2, 6e-2],
-    "dsr": [1e-4] * 6,
-    "ssim": [3e-5, 3e-5, 6e-5, 6e-5, 6e-5, 2e-4],
-    "psf_loss": [1e-5, 1e-5, 2e-4, 2e-4, 6e-4, 1e-3],
+    "loss": [5e-8, 3e-7, 2e-4, 2e-3, 1e-2, 1e-2],
+    "ce": [1e-6, 2e-6, 1e-3, 1e-2, 4e-2, 4e-2],
+    "dsr": [1e-7] * 6,
+    "ssim": [1e-10, 1e-10, 4e-7, 2e-6, 5e-5, 2e-4],
+    "psf_loss": [1e-10, 1e-10, 2e-6, 1e-5, 5e-4, 5e-4],
 }
 # top5 is a discrete rank count: exact while the ce drift is below the
-# near-tie spacing (steps 0-1), then rank flips are expected.
-TOP5_EXACT_STEPS = 2
+# near-tie spacing (steps 0-2), then rank flips are expected.
+TOP5_EXACT_STEPS = 3
 
 
 @pytest.mark.slow  # ~6 torch double caption iters + one f64 jit (CPU)
