@@ -118,20 +118,37 @@ class AttentionLSTMDecoder(nn.Module):
         def scan_step(carry, t):
             h, c = carry
             active = (t < decode_lengths)[:, None].astype(enc.dtype)
-            preds, alpha, h_new, c_new = self.step(
-                enc, embeddings[:, t, :], h, c, deterministic, enc_proj
+            # The scan carries only the recurrence (attention + LSTM
+            # cell); the vocab head runs ONCE on the stacked states
+            # below — the serial loop was latency-bound on v5e (each
+            # step ~15 small kernels at ~60 us dispatch-to-dispatch),
+            # and fc is loop-invariant so T head launches collapse to
+            # one (T*B, D) x (D, V) MXU call.  Identical math: fc and
+            # dropout are elementwise-per-row, and the active mask is
+            # applied to the head output exactly as before.
+            ctx, alpha = self.attend(enc, h, enc_proj)
+            gate = jax.nn.sigmoid(self.f_beta(h))
+            h_new, c_new = self.lstm_step(
+                jnp.concatenate([embeddings[:, t, :], gate * ctx], axis=-1),
+                h, c,
             )
             # Inactive rows keep their state and emit zeros, matching the
             # reference's shrinking-batch semantics.
             h = active * h_new + (1 - active) * h
             c = active * c_new + (1 - active) * c
-            return (h, c), (preds * active, alpha * active)
+            return (h, c), (h_new, alpha * active)
 
-        (_, _), (preds, alphas) = nn.scan(
+        (_, _), (hs, alphas) = nn.scan(
             lambda mdl, carry, t: scan_step(carry, t),
             variable_broadcast="params",
-            split_rngs={"params": False, "dropout": True},
+            split_rngs={"params": False, "dropout": False},
         )(self, (h, c), jnp.arange(max_t))
+        # Vocab head over all steps at once: (T, B, D) -> (T, B, V).
+        preds = self.fc(self.drop(hs, deterministic=deterministic))
+        active = (
+            jnp.arange(max_t)[:, None] < decode_lengths[None, :]
+        ).astype(preds.dtype)[..., None]
+        preds = preds * active
         # scan stacks on axis 0 -> (T, B, ...); move batch first.
         return DecoderOutput(
             predictions=jnp.transpose(preds, (1, 0, 2)),
