@@ -25,12 +25,12 @@ import pytest
 from ppvision_tpu.config import CameraConfig, FaceDeIdConfig, LossConfig, ModelConfig
 
 IMG = 32
-GAN_STEPS = 300
-CAP_STEPS = 300
+GAN_STEPS = 200
+CAP_STEPS = 250
 
 
-@pytest.mark.slow  # ~300 tiny GAN iters on CPU
-def test_gan_trend_300_steps_bounded_no_collapse():
+@pytest.mark.slow  # ~200 tiny GAN iters on CPU
+def test_gan_trend_bounded_no_collapse():
     from ppvision_tpu.optics.camera import (
         CameraSpec, init_camera_params, make_camera_constants,
     )
@@ -117,7 +117,7 @@ def test_gan_trend_300_steps_bounded_no_collapse():
     assert np.abs(e - p).mean() < GAN_STEPS * 1e-4
 
 
-@pytest.mark.slow  # ~300 tiny caption iters + beam decode on CPU
+@pytest.mark.slow  # ~250 tiny caption iters + beam decode on CPU
 def test_caption_ce_down_bleu4_past_gate():
     from ppvision_tpu.config import CaptionConfig
     from ppvision_tpu.metrics.text import bleu_scores
@@ -190,7 +190,7 @@ def test_caption_ce_down_bleu4_past_gate():
     w = 25
     means = [float(np.mean(ce[i : i + w])) for i in range(0, CAP_STEPS, w)]
     assert all(b < a for a, b in zip(means, means[1:])), means
-    assert ce[-1] < 0.25 * ce[0], (ce[0], ce[-1])
+    assert ce[-1] < 0.3 * ce[0], (ce[0], ce[-1])
 
     # BLEU-4 rises past the reference's 0.20 checkpoint gate
     # (Image_Caption/train.py:230-238) from its near-zero start.
