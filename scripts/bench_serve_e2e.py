@@ -80,6 +80,18 @@ def main():
     server.warmup()
     server.reset_stats()
 
+    # Raw device->host pull rate for one (R, B, H, W, 3) f32 result —
+    # on the tunnel backend this transfer, not the host decode or the
+    # chip, can dominate; measuring it attributes the e2e number.
+    probe = server._dispatch(
+        np.full((batch, 128, 128, 3), 0.5, np.float32)
+    )
+    jax.block_until_ready(probe)
+    t0 = time.perf_counter()
+    host = np.asarray(probe)
+    pull_dt = time.perf_counter() - t0
+    pull_gb_s = host.nbytes / pull_dt / 1e9
+
     def sources():
         it2 = iter(fresh_batcher())
         served = 0
@@ -111,6 +123,9 @@ def main():
         batches_dispatched=stats["batches_dispatched"],
         chip_busy_frac=round(min(busy / e2e_dt, 1.0), 3),
         chip_idle_frac=round(max(1.0 - busy / e2e_dt, 0.0), 3),
+        result_pull_gb_s=round(pull_gb_s, 3),
+        result_gb_per_batch=round(host.nbytes / 1e9, 2),
+        transfer_bound_sources_s=round(batch / pull_dt, 1),
         n_sources=n_out, r_styles=r, batch=batch,
         note="host-bound on this 1-core VM: e2e_sources_s tracks "
              "host_only_img_s; chip_idle_frac is the headroom a "
