@@ -53,6 +53,7 @@ class DeIdServer:
         batch_size: int = 128,
         depth: int = 4,
         mesh=None,
+        out_space: str = "float32",
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` — each batch's
         leading axis shards over the mesh's ``data`` axis (params and
@@ -60,9 +61,17 @@ class DeIdServer:
         partitions the program and ``batch_size`` must divide the mesh
         size.  Instance/AdaIN norms are per-sample, so the sharded
         program is the single-device math (tests/test_deid_sharding.py).
+
+        ``out_space``: "float32" yields raw pipeline outputs; "uint8"
+        converts to saved-image space ON DEVICE with the exact
+        ``sample._to_uint8`` math (clip(x*255, 0, 255)) — 4x fewer
+        result bytes over the device->host link, bit-identical to
+        converting the float output on the host (tests/test_serve.py).
         """
         if batch_size < 1 or depth < 1:
             raise ValueError("batch_size and depth must be >= 1")
+        if out_space not in ("float32", "uint8"):
+            raise ValueError(f"out_space must be float32|uint8, got {out_space}")
         if mesh is not None and batch_size % mesh.shape["data"] != 0:
             raise ValueError(
                 f"batch_size {batch_size} must divide over the mesh's "
@@ -86,9 +95,13 @@ class DeIdServer:
             self._y_ref = jnp.asarray(y_ref, dtype=jnp.int32)
             self._params = bundle.params
             self._in_shard = None
-        self._fn = jax.jit(
-            lambda p, xs, xr, yr: deid_multi_style(bundle, p, xs, xr, yr)
-        )
+        def _run(p, xs, xr, yr):
+            out = deid_multi_style(bundle, p, xs, xr, yr)
+            if out_space == "uint8":
+                out = jnp.clip(out * 255.0, 0, 255).astype(jnp.uint8)
+            return out
+
+        self._fn = jax.jit(_run)
         # Serving observability (see ``stats``): cumulative per-request
         # latencies and dispatch/queue gauges across serve() calls.
         self._latencies: list[float] = []

@@ -76,7 +76,10 @@ def main():
     bundle = build_deid(jax.random.key(0), cfg)
     x_ref = np.random.default_rng(1).random((r, 128, 128, 3)).astype(np.float32)
     y_ref = np.zeros((r,), np.int32)
-    server = DeIdServer(bundle, x_ref, y_ref, batch_size=batch, depth=4)
+    out_space = os.environ.get("PPVISION_E2E_OUT", "float32")
+    server = DeIdServer(
+        bundle, x_ref, y_ref, batch_size=batch, depth=4, out_space=out_space
+    )
     server.warmup()
     server.reset_stats()
 
@@ -126,7 +129,7 @@ def main():
         result_pull_gb_s=round(pull_gb_s, 3),
         result_gb_per_batch=round(host.nbytes / 1e9, 2),
         transfer_bound_sources_s=round(batch / pull_dt, 1),
-        n_sources=n_out, r_styles=r, batch=batch,
+        n_sources=n_out, r_styles=r, batch=batch, out_space=out_space,
         note="host-bound on this 1-core VM: e2e_sources_s tracks "
              "host_only_img_s; chip_idle_frac is the headroom a "
              "multi-core host would fill",

@@ -207,3 +207,25 @@ def test_server_stats_latency_and_queue_depth(tiny):
     assert s3["completed"] == 3
     assert s3["batches_dispatched"] == 2
     assert s3["latency_p99_s"] >= s3["latency_p50_s"] > 0
+
+
+@pytest.mark.slow  # compiles the tiny pipeline twice (f32 + u8 out)
+def test_uint8_out_space_matches_host_conversion(tiny):
+    """out_space='uint8' converts on device with the exact sample
+    _to_uint8 math — byte-identical to converting the f32 output."""
+    bundle, xr, yr = tiny
+    rng = np.random.default_rng(3)
+    imgs = [rng.random((64, 64, 3)).astype(np.float32) for _ in range(2)]
+
+    f32_srv = DeIdServer(bundle, xr, yr, batch_size=2, depth=1)
+    u8_srv = DeIdServer(bundle, xr, yr, batch_size=2, depth=1,
+                        out_space="uint8")
+    outs_f32 = list(f32_srv.serve(imgs))
+    outs_u8 = list(u8_srv.serve(imgs))
+    assert all(o.dtype == np.uint8 for o in outs_u8)
+    for a, b in zip(outs_f32, outs_u8):
+        want = np.clip(a * 255.0, 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(b, want)
+
+    with pytest.raises(ValueError):
+        DeIdServer(bundle, xr, yr, out_space="float16")
