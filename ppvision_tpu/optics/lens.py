@@ -276,22 +276,35 @@ def lens_psf(
     factor, up = _downsample_plan(n, p)
     if up > 1:
         psf = jnp.repeat(jnp.repeat(psf, up, axis=0), up, axis=1)
+    elif factor * p != psf.shape[0]:
+        # Reference's general nearest-resize path (Utils.py:237-243):
+        # tv Resize(interpolation=0) to (factor*p)^2 then AvgPool(factor)
+        # — taken when the lcm upsample exceeds 10x (reference caps
+        # upsample_factor at 10 with its "very expensive and not
+        # precise" warning) or is non-integer.  ``resize_nearest``
+        # replicates torch interpolate-nearest index math exactly.
+        from ..ops.image import resize_nearest
+
+        psf = resize_nearest(psf, (factor * p, factor * p))
     psf = psf.reshape(p, factor, p, factor, -1).mean(axis=(1, 3))
     psf = psf / jnp.sum(psf, axis=(0, 1), keepdims=True)  # per-channel
     return psf, lens_coeffs(params)
 
 
 def _downsample_plan(n: int, p: int) -> tuple[int, int]:
-    """(pool factor, nearest-upsample factor) replicating the reference."""
+    """(pool factor, nearest-upsample factor) replicating the reference.
+
+    ``up == 1`` with ``factor * p != n`` signals the general
+    nearest-resize path (see lens_psf): the reference caps the lcm
+    upsample at 10x and nearest-resizes for any non-integer ratio."""
     if n % p == 0:
         return n // p, 1
     lcm = np.lcm(n, p)
     up_total = lcm // p  # pool factor after upsampling to lcm
-    if up_total > 10 or (up_total * p) % n:
-        raise NotImplementedError(
-            f"area downsample {n}->{p} needs the reference's lossy x10 "
-            "nearest-resize path, which no shipped config uses"
-        )
+    if up_total > 10:
+        return 10, 1
+    if (up_total * p) % n:
+        return int(up_total), 1
     return int(up_total), int(up_total * p // n)
 
 
