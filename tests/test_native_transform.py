@@ -140,3 +140,55 @@ def test_batch_decode_transform_matches_two_step():
     )
     assert ok2[0] and not ok2[1]
     assert np.abs(out2[1]).max() == 0.0
+
+
+@needs_jpeg
+def test_batch_decode_thread_pool_determinism_under_contention():
+    """The host pipeline's parallelism claim, stress-tested.
+
+    All libjpeg state in the native pool is per-call stack-local (one
+    ``jpeg_decompress_struct`` + ``JerrJmp`` per ``decode_jpeg_rgb``
+    invocation, native/transform.cpp) — there is no shared error
+    handler — so the batch result must be bit-identical at every thread
+    count, including when corrupt streams drive the ``longjmp`` error
+    path while other threads are mid-decode.  Oversubscribing threads
+    (16 on this 1-core VM) forces preemption inside decode/transform,
+    interleaving the error path with in-flight work.
+    """
+    rng = np.random.default_rng(11)
+    datas, n = [], 64
+    for i in range(n):
+        kind = i % 5
+        if kind == 3:  # corrupt: valid SOI then garbage
+            datas.append(b"\xff\xd8" + bytes(rng.integers(0, 256, 40, np.uint8)))
+        elif kind == 4:  # corrupt: truncated valid stream
+            img = rng.integers(0, 256, (60, 44, 3), np.uint8)
+            datas.append(_jpeg_bytes(img)[: 30 + int(rng.integers(0, 60))])
+        else:
+            h, w = 40 + int(rng.integers(0, 80)), 40 + int(rng.integers(0, 80))
+            img = rng.integers(0, 256, (h, w, 3), np.uint8)
+            datas.append(_jpeg_bytes(img, quality=int(rng.integers(60, 96))))
+    crops = np.stack(
+        [
+            rng.integers(0, 5, n),
+            rng.integers(0, 5, n),
+            rng.integers(24, 40, n),
+            rng.integers(24, 40, n),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    flips = rng.random(n) < 0.5
+    golden, ok_golden = native.batch_decode_transform(
+        datas, crops, (32, 32), flips, n_threads=1
+    )
+    # truncated streams may still decode (libjpeg pads) — the corrupt-SOI
+    # ones must not; either way the classification must be stable.
+    assert not ok_golden[3::5].any()
+    assert ok_golden[0::5].all() and ok_golden[1::5].all() and ok_golden[2::5].all()
+    for n_threads in (4, 16):
+        for _ in range(4):
+            out, ok = native.batch_decode_transform(
+                datas, crops, (32, 32), flips, n_threads=n_threads
+            )
+            np.testing.assert_array_equal(ok, ok_golden)
+            np.testing.assert_array_equal(out, golden)
